@@ -1,0 +1,246 @@
+"""Configuration layer for the resnet_tpu framework.
+
+The reference (als244/ResNet) has no config system: each of its six CUDA
+variants hard-codes a point in the (kernel engine x layout x memory x
+precision) space as compile-time constants in ``main`` (resnet.cu:3245-3296).
+Here those axes become explicit, runtime-selected configuration:
+
+  * ``kernels``   : 'xla' (XLA convs, ~ the cuDNN variants) or 'pallas'
+                    (fused Pallas kernels, ~ the hand-rolled resnet.cu /
+                    resnet_clean.cu kernels).
+  * ``layout``    : 'NHWC' | 'NCHW' (~ resnet_cudnn.cu vs resnet_cudnn_nchw.cu).
+  * ``precision`` : 'fp32' | 'bf16' mixed (~ resnet_cudnn_fast.cu TensorCore
+                    math, Makefile:25-28 --use_fast_math).
+  * ``remat``     : recompute activations in backward instead of caching
+                    (~ resnet_clean.cu / resnet_cudnn_lowmem.cu memory
+                    strategies) via jax.checkpoint.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+
+_DTYPES = {
+    "float32": jnp.float32,
+    "bfloat16": jnp.bfloat16,
+    "float16": jnp.float16,
+}
+
+
+def resolve_dtype(name):
+    """Map a dtype name (or dtype) to a jnp dtype."""
+    if isinstance(name, str):
+        return _DTYPES[name]
+    return name
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """ResNet model hyper-shape.
+
+    Defaults reproduce the reference ResNet-50 exactly
+    (resnet.cu:3245-3258: input 224, 7x7/64/s2 stem, 3x3/s2 maxpool,
+    16 bottleneck blocks with spatial reductions at blocks {3,7,13},
+    final depth 2048, 1000 classes).
+    """
+
+    name: str = "resnet50"
+    input_dim: int = 224
+    in_channels: int = 3
+    num_classes: int = 1000
+
+    # Stem (resnet.cu:3246-3250).
+    init_kernel: int = 7
+    init_filters: int = 64
+    init_stride: int = 2
+    maxpool_kernel: int = 3
+    maxpool_stride: int = 2
+
+    # Stages: number of residual blocks per stage. (3,4,6,3) -> 16 blocks,
+    # the reference's N_CONV_BLOCKS=16 with IS_BLOCK_SPATIAL_REDUCTION at
+    # 3/7/13 == first block of stages 2..4 (resnet.cu:3252-3258).
+    block_sizes: Tuple[int, ...] = (3, 4, 6, 3)
+    bottleneck: bool = True
+    expansion: int = 4
+
+    # Reference quirk: projection convs at stage transitions are 3x3/s2
+    # (resnet.cu:770-797), not the standard 1x1/s2. Set to 1 for standard
+    # torchvision-style ResNet.
+    stride_projection_kernel: int = 3
+
+    # Reference initializes every BN gamma to 1.0 (resnet.cu:684-708 with
+    # is_zero=false at resnet.cu:955). zero_init_residual=True gives the
+    # Goyal et al. 2017 zero-gamma-on-last-BN init the reference's comment
+    # mentions but does not actually apply.
+    zero_init_residual: bool = False
+
+    # Reference FC layer has no bias (bare matmul, resnet.cu:1759).
+    fc_bias: bool = False
+
+    bn_eps: float = 1e-7  # trainer->eps, shared with Adam (resnet.cu:3290)
+    # Track running BN statistics for inference. The reference keeps none
+    # (cuDNN call passes NULL running stats, resnet_cudnn.cu:1679); enabling
+    # this adds standard EMA stats for an eval path.
+    bn_momentum: float = 0.9
+    track_running_stats: bool = True
+
+    @property
+    def num_blocks(self) -> int:
+        return sum(self.block_sizes)
+
+    @property
+    def final_depth(self) -> int:
+        base = self.init_filters * (2 ** (len(self.block_sizes) - 1))
+        return base * self.expansion if self.bottleneck else base
+
+    def stage_of_block(self, block_idx: int) -> int:
+        acc = 0
+        for stage, n in enumerate(self.block_sizes):
+            acc += n
+            if block_idx < acc:
+                return stage
+        raise ValueError(f"block {block_idx} out of range")
+
+    def is_reduction_block(self, block_idx: int) -> bool:
+        """True when this block halves spatial dims (stride-2 3x3)."""
+        starts = [sum(self.block_sizes[:i]) for i in range(len(self.block_sizes))]
+        return block_idx in starts[1:]
+
+    def is_projection_block(self, block_idx: int) -> bool:
+        """True when this block carries a projection shortcut."""
+        starts = [sum(self.block_sizes[:i]) for i in range(len(self.block_sizes))]
+        return block_idx in starts
+
+
+@dataclass(frozen=True)
+class ExecutionConfig:
+    """How the model executes on the chip — the reference's 'variant' axis."""
+
+    kernels: str = "xla"  # 'xla' | 'pallas'
+    layout: str = "NHWC"  # 'NHWC' | 'NCHW'
+    compute_dtype: str = "float32"  # 'float32' | 'bfloat16'
+    param_dtype: str = "float32"
+    # Recompute policy (~ resnet_clean.cu / lowmem): 'none' caches everything
+    # like resnet.cu; 'block' wraps each residual block in jax.checkpoint.
+    remat: str = "none"  # 'none' | 'block'
+    # Use the reference's numerically-naive softmax (resnet.cu:569-580, no
+    # max subtraction) for forward-dump fidelity; training always uses a
+    # stable log-softmax for the loss.
+    stable_softmax: bool = True
+    # MXU precision for fp32 convs/matmuls ('default'|'high'|'highest').
+    matmul_precision: str = "highest"
+
+    @property
+    def cdtype(self):
+        return resolve_dtype(self.compute_dtype)
+
+    @property
+    def pdtype(self):
+        return resolve_dtype(self.param_dtype)
+
+
+@dataclass(frozen=True)
+class OptimizerConfig:
+    """Reference trainer hyperparameters (resnet.cu:3286-3291)."""
+
+    name: str = "adam"  # 'adam' | 'sgd'
+    learning_rate: float = 1e-4
+    weight_decay: float = 0.0
+    beta1: float = 0.9  # MEAN_DECAY
+    beta2: float = 0.999  # VAR_DECAY
+    eps: float = 1e-7  # EPS
+    momentum: float = 0.9  # for sgd
+    # Per-element non-finite guards matching the reference optimizer kernels
+    # (resnet.cu:605-662): skip m/v update on non-finite grad, roll back any
+    # param that would become non-finite.
+    nonfinite_guard: bool = True
+    # Optional schedule: 'constant' | 'cosine' | 'step'
+    schedule: str = "constant"
+    warmup_steps: int = 0
+    total_steps: int = 0  # required for cosine
+    # Fused Pallas optimizer update path.
+    fused: bool = False
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Input pipeline configuration (reference L0: build_training_shards.c)."""
+
+    shard_dir: str = ""
+    shard_images: int = 32768  # SHARD_N_IMAGES, resnet.cu:3277
+    batch_size: int = 32  # resnet.cu:3279
+    layout: str = "NHWC"  # on-disk shard layout; 'NCHW' ~ fast variant shards
+    num_shards: int = 40
+    prefetch: int = 2  # device-side double buffering depth
+    synthetic: bool = False  # generate random batches (bench/test mode)
+    # ImageNet per-channel means baked into the shard builder
+    # (build_training_shards.c:115-131), RGB order after its BGR swap.
+    channel_means: Tuple[float, float, float] = (123.68, 116.78, 103.94)
+
+
+@dataclass(frozen=True)
+class ParallelConfig:
+    """Device mesh / data-parallel configuration (new capability; the
+    reference is single-GPU, SURVEY.md section 2.7)."""
+
+    data_axis: str = "data"
+    num_devices: int = 0  # 0 = all available
+    mode: str = "auto"  # 'auto' (pjit/NamedSharding) | 'shard_map'
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    execution: ExecutionConfig = dataclasses.field(default_factory=ExecutionConfig)
+    optimizer: OptimizerConfig = dataclasses.field(default_factory=OptimizerConfig)
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    parallel: ParallelConfig = dataclasses.field(default_factory=ParallelConfig)
+
+    seed: int = 1234  # reference curand seed (resnet.cu:3266-3267)
+    epochs: int = 40  # N_EPOCHS (resnet.cu:3291)
+    checkpoint_every: int = 1000  # dump cadence (resnet.cu:2947)
+    checkpoint_dir: str = "training_dumps/my_custom"
+    log_every: int = 1  # PRINT_FREQ (resnet.cu:3318)
+    resume_from: int = -1  # LOAD_FROM_DUMP_ID (resnet.cu:3299)
+    # Per-step NaN/Inf scan of all trainer state (~ check_errors,
+    # resnet.cu:2879-2907). Expensive; off by default outside debugging.
+    check_errors: bool = False
+
+
+def tiny_model_config(**overrides) -> ModelConfig:
+    """A small ResNet for CPU tests: 16x16 input, 4 blocks, 8 classes."""
+    base = dict(
+        name="resnet-tiny",
+        input_dim=16,
+        num_classes=8,
+        init_kernel=3,
+        init_filters=8,
+        init_stride=2,
+        maxpool_kernel=3,
+        maxpool_stride=2,
+        block_sizes=(1, 1),
+        expansion=4,
+    )
+    base.update(overrides)
+    return ModelConfig(**base)
+
+
+PRESETS = {
+    "resnet18": dict(block_sizes=(2, 2, 2, 2), bottleneck=False, expansion=1),
+    "resnet34": dict(block_sizes=(3, 4, 6, 3), bottleneck=False, expansion=1),
+    "resnet50": dict(block_sizes=(3, 4, 6, 3), bottleneck=True, expansion=4),
+    "resnet101": dict(block_sizes=(3, 4, 23, 3), bottleneck=True, expansion=4),
+    "resnet152": dict(block_sizes=(3, 8, 36, 3), bottleneck=True, expansion=4),
+}
+
+
+def model_config(name: str = "resnet50", **overrides) -> ModelConfig:
+    if name not in PRESETS:
+        raise ValueError(f"unknown model {name!r}; have {sorted(PRESETS)}")
+    kw = dict(PRESETS[name])
+    kw.update(overrides)
+    return ModelConfig(name=name, **kw)

@@ -1,0 +1,222 @@
+"""Functional ResNet forward pass (bottleneck and basic blocks).
+
+Reproduces the reference network exactly in its default config
+(forward_pass, resnet.cu:1526-1775):
+
+  stem 7x7/s2 conv -> BN+ReLU -> 3x3/s2 maxpool
+  -> 16 bottleneck blocks [1x1 reduce -> BN+ReLU -> 3x3 (stride here)
+     -> BN+ReLU -> 1x1 expand -> BN -> (+ projected residual) -> ReLU]
+  -> global 7x7 avg pool -> FC 2048x1000 (no bias)
+
+Projection shortcuts sit on the first block of each stage; at stage
+transitions the projection is a 3x3/s2 conv (reference quirk,
+resnet.cu:770-797). Returned logits are fp32; softmax is applied by the
+caller (loss or prediction path).
+
+Unlike the reference's six memory variants, caching-vs-recompute is a
+config axis: ecfg.remat='block' wraps each residual block in
+jax.checkpoint, the TPU analogue of resnet_clean.cu's recompute-in-backward
+strategy (resnet_clean.cu:2459-2958).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ExecutionConfig, ModelConfig
+from ..ops import batch_norm, conv2d, global_avg_pool, linear, max_pool, relu, softmax
+
+
+def _bn_apply(x, bn_params, *, eps, layout, state=None, train=True):
+    """BN in train (batch stats) or eval (running stats) mode.
+
+    Returns (y, (mean, var)) — stats are the batch stats in train mode.
+    """
+    mean = var = None
+    if not train:
+        if state is None:
+            raise ValueError("eval-mode BN requires running statistics")
+        mean, var = state["mean"], state["var"]
+    return batch_norm(
+        x, bn_params["gamma"], bn_params["beta"], eps=eps, layout=layout,
+        mean=mean, var=var,
+    )
+
+
+def _bottleneck_block(
+    block_params, x, *, stride, mcfg, ecfg, state=None, train=True, tape=None
+):
+    layout = ecfg.layout
+    eps = mcfg.bn_eps
+    prec = ecfg.matmul_precision
+    stats: Dict[str, Any] = {}
+
+    out = conv2d(x, block_params["reduce"]["w"], stride=1, layout=layout, precision=prec)
+    if tape is not None:
+        tape["post_reduced"] = out
+    out, stats["bn_reduce"] = _bn_apply(
+        out, block_params["bn_reduce"], eps=eps, layout=layout,
+        state=None if state is None else state["bn_reduce"], train=train,
+    )
+    out = relu(out)
+
+    out = conv2d(out, block_params["spatial"]["w"], stride=stride, layout=layout, precision=prec)
+    if tape is not None:
+        tape["post_spatial"] = out
+    out, stats["bn_spatial"] = _bn_apply(
+        out, block_params["bn_spatial"], eps=eps, layout=layout,
+        state=None if state is None else state["bn_spatial"], train=train,
+    )
+    out = relu(out)
+
+    out = conv2d(out, block_params["expand"]["w"], stride=1, layout=layout, precision=prec)
+    if tape is not None:
+        tape["post_expanded"] = out
+    out, stats["bn_expand"] = _bn_apply(
+        out, block_params["bn_expand"], eps=eps, layout=layout,
+        state=None if state is None else state["bn_expand"], train=train,
+    )
+
+    if "proj" in block_params:
+        residual = conv2d(
+            x, block_params["proj"]["w"], stride=stride, layout=layout, precision=prec
+        )
+        residual, stats["bn_proj"] = _bn_apply(
+            residual, block_params["bn_proj"], eps=eps, layout=layout,
+            state=None if state is None else state["bn_proj"], train=train,
+        )
+        if tape is not None:
+            tape["transformed_residual"] = residual
+    else:
+        residual = x
+
+    out = relu(out + residual)
+    if tape is not None:
+        tape["output_activated"] = out
+    return out, stats
+
+
+def _basic_block(
+    block_params, x, *, stride, mcfg, ecfg, state=None, train=True, tape=None
+):
+    layout = ecfg.layout
+    eps = mcfg.bn_eps
+    prec = ecfg.matmul_precision
+    stats: Dict[str, Any] = {}
+
+    out = conv2d(x, block_params["conv1"]["w"], stride=stride, layout=layout, precision=prec)
+    out, stats["bn1"] = _bn_apply(
+        out, block_params["bn1"], eps=eps, layout=layout,
+        state=None if state is None else state["bn1"], train=train,
+    )
+    out = relu(out)
+    out = conv2d(out, block_params["conv2"]["w"], stride=1, layout=layout, precision=prec)
+    out, stats["bn2"] = _bn_apply(
+        out, block_params["bn2"], eps=eps, layout=layout,
+        state=None if state is None else state["bn2"], train=train,
+    )
+
+    if "proj" in block_params:
+        residual = conv2d(
+            x, block_params["proj"]["w"], stride=stride, layout=layout, precision=prec
+        )
+        residual, stats["bn_proj"] = _bn_apply(
+            residual, block_params["bn_proj"], eps=eps, layout=layout,
+            state=None if state is None else state["bn_proj"], train=train,
+        )
+    else:
+        residual = x
+
+    out = relu(out + residual)
+    return out, stats
+
+
+def forward(
+    params,
+    x: jax.Array,
+    mcfg: ModelConfig,
+    ecfg: Optional[ExecutionConfig] = None,
+    *,
+    train: bool = True,
+    bn_state=None,
+    capture: bool = False,
+) -> Tuple[jax.Array, Dict[str, Any]]:
+    """Run the network. Returns (fp32 logits, aux).
+
+    aux["bn_stats"]: pytree of per-layer batch (mean, var) — the TPU
+    equivalent of the reference's Cache_BatchNorm buffers (resnet.h:90-97).
+    aux["activations"]: intermediate tensors when capture=True, keyed after
+    the reference's Activations struct fields (resnet.h:99-152) for the
+    dump/fidelity harness.
+    """
+    ecfg = ecfg or ExecutionConfig()
+    layout = ecfg.layout
+    eps = mcfg.bn_eps
+    prec = ecfg.matmul_precision
+    block_fn = _bottleneck_block if mcfg.bottleneck else _basic_block
+
+    x = x.astype(ecfg.cdtype)
+    tape: Optional[Dict[str, Any]] = {} if capture else None
+    stats: Dict[str, Any] = {}
+
+    out = conv2d(x, params["init_conv"]["w"], stride=mcfg.init_stride, layout=layout, precision=prec)
+    if tape is not None:
+        tape["init_conv_applied"] = out
+    out, stats["init_bn"] = _bn_apply(
+        out, params["init_bn"], eps=eps, layout=layout,
+        state=None if bn_state is None else bn_state["init_bn"], train=train,
+    )
+    out = relu(out)
+    if tape is not None:
+        tape["init_conv_activated"] = out
+    out = max_pool(out, kernel=mcfg.maxpool_kernel, stride=mcfg.maxpool_stride, layout=layout)
+    if tape is not None:
+        tape["init_convblock_input"] = out
+
+    block_stats = []
+    for i, block_params in enumerate(params["blocks"]):
+        stride = 2 if mcfg.is_reduction_block(i) else 1
+        block_tape: Optional[Dict[str, Any]] = {} if capture else None
+
+        def run_block(bp, h, _stride=stride, _tape=block_tape, _state=(
+            None if bn_state is None else bn_state["blocks"][i]
+        )):
+            return block_fn(
+                bp, h, stride=_stride, mcfg=mcfg, ecfg=ecfg,
+                state=_state, train=train, tape=_tape,
+            )
+
+        if ecfg.remat == "block" and train and not capture:
+            run_block = jax.checkpoint(run_block)
+        out, bstats = run_block(block_params, out)
+        block_stats.append(bstats)
+        if tape is not None:
+            tape[f"block_{i:02d}"] = block_tape
+    stats["blocks"] = block_stats
+
+    pooled = global_avg_pool(out, layout=layout)
+    if tape is not None:
+        tape["final_avg_pool"] = pooled
+    logits = linear(
+        pooled, params["fc"]["w"], params["fc"].get("b"), precision=prec
+    ).astype(jnp.float32)
+    if tape is not None:
+        tape["linear_output"] = logits
+        tape["pred"] = softmax(logits, stable=ecfg.stable_softmax)
+
+    aux: Dict[str, Any] = {"bn_stats": stats}
+    if capture:
+        aux["activations"] = tape
+    return logits, aux
+
+
+def predict(params, x, mcfg, ecfg=None, *, bn_state=None, stable_softmax=True):
+    """Inference probabilities using running BN statistics."""
+    logits, _ = forward(
+        params, x, mcfg, ecfg, train=False, bn_state=bn_state
+    )
+    return softmax(logits, stable=stable_softmax)

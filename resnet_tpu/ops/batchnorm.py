@@ -1,0 +1,111 @@
+"""Batch normalization with the reference's training semantics.
+
+The reference BN (doBatchNormAndActivate, resnet.cu:289-343; cuDNN
+SPATIAL_PERSISTENT mode, resnet_cudnn.cu:1655-1695):
+
+  * per-channel statistics over (N, H, W) of the current batch,
+  * biased variance (divide by n, not n-1),
+  * no running statistics in training (cuDNN call passes NULL,
+    resnet_cudnn.cu:1679),
+  * forward caches (mean, var) — or (mean, inv_std) in the cuDNN variants —
+    for backward; the lean variant recomputes x_hat from them
+    (resnet_clean.cu:656).
+
+Here forward/backward come from autodiff of the closed-form expression; the
+fused three-kernel backward pipeline of resnet_clean.cu:785-905 maps to XLA
+fusion (and a Pallas kernel in kernels/bn.py). Statistics are always computed
+in float32 even under bf16 compute.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _reduce_axes(layout: str) -> Tuple[int, ...]:
+    return (0, 1, 2) if layout == "NHWC" else (0, 2, 3)
+
+
+def _param_shape(x_ndim: int, layout: str) -> Tuple[int, ...]:
+    # broadcastable shape for per-channel gamma/beta
+    if layout == "NHWC":
+        return (1,) * (x_ndim - 1) + (-1,)
+    return (1, -1) + (1,) * (x_ndim - 2)
+
+
+def batch_moments(x: jax.Array, layout: str = "NHWC") -> Tuple[jax.Array, jax.Array]:
+    """Per-channel (mean, biased var) over batch+space, computed in fp32.
+
+    Matches getMeansAndVars (resnet_clean.cu:620-654).
+    """
+    axes = _reduce_axes(layout)
+    # stats in >= fp32 (fp32 under bf16 compute; fp64 stays fp64)
+    xf = x.astype(jnp.result_type(x.dtype, jnp.float32))
+    mean = jnp.mean(xf, axis=axes)
+    var = jnp.mean(jnp.square(xf), axis=axes) - jnp.square(mean)
+    # clamp tiny negative values from the E[x^2]-E[x]^2 form
+    var = jnp.maximum(var, 0.0)
+    return mean, var
+
+
+def batch_norm(
+    x: jax.Array,
+    gamma: jax.Array,
+    beta: jax.Array,
+    *,
+    eps: float = 1e-7,
+    layout: str = "NHWC",
+    mean: Optional[jax.Array] = None,
+    var: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array]]:
+    """Training-mode BN. Returns (y, (mean, var)) with stats in fp32.
+
+    If mean/var are given (eval mode / recompute mode) they are used instead
+    of batch statistics.
+    """
+    if mean is None or var is None:
+        mean, var = batch_moments(x, layout)
+    stat_dtype = jnp.result_type(x.dtype, jnp.float32)
+    shape = _param_shape(x.ndim, layout)
+    inv_std = jax.lax.rsqrt(var + jnp.asarray(eps, stat_dtype))
+    scale = (gamma.astype(stat_dtype) * inv_std).reshape(shape)
+    shift = (
+        beta.astype(stat_dtype) - gamma.astype(stat_dtype) * mean * inv_std
+    ).reshape(shape)
+    y = x.astype(stat_dtype) * scale + shift
+    return y.astype(x.dtype), (mean, var)
+
+
+def batch_norm_inference(
+    x: jax.Array,
+    gamma: jax.Array,
+    beta: jax.Array,
+    running_mean: jax.Array,
+    running_var: jax.Array,
+    *,
+    eps: float = 1e-7,
+    layout: str = "NHWC",
+) -> jax.Array:
+    y, _ = batch_norm(
+        x, gamma, beta, eps=eps, layout=layout, mean=running_mean, var=running_var
+    )
+    return y
+
+
+def update_running_stats(
+    running_mean: jax.Array,
+    running_var: jax.Array,
+    mean: jax.Array,
+    var: jax.Array,
+    momentum: float,
+) -> Tuple[jax.Array, jax.Array]:
+    """EMA update for inference statistics (new capability; the reference
+    tracks none)."""
+    m = jnp.float32(momentum)
+    return (
+        m * running_mean + (1 - m) * mean,
+        m * running_var + (1 - m) * var,
+    )

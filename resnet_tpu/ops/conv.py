@@ -1,0 +1,75 @@
+"""2-D convolution on the MXU via XLA.
+
+Replaces the reference's direct conv kernels (doConvolution resnet.cu:109,
+convolutionDerivInput resnet.cu:166, convolutionDerivWeights resnet.cu:227)
+and its cuDNN wrappers (resnet_cudnn_fast.cu:1248-1521). On TPU the
+convolution lowers to implicit GEMM on the systolic array; XLA autotunes the
+algorithm, playing the role of the reference's cudnnFind* machinery
+(resnet_cudnn_fast.cu:1275-1303). Backward (data + filter) comes from
+autodiff of lax.conv_general_dilated, including the reference's 'toAdd'
+gradient accumulation at residual joins (resnet_cudnn.cu:1531-1536), which
+autodiff expresses as '+' in the cotangent graph.
+
+Weights are stored HWIO regardless of activation layout; the reference's
+per-call NCHW<->NHWC filter transforms (resnet_cudnn.cu:1528,1593) have no
+equivalent — XLA handles layout at compile time.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .padding import reference_padding
+
+_DIM_NUMBERS = {
+    "NHWC": ("NHWC", "HWIO", "NHWC"),
+    "NCHW": ("NCHW", "HWIO", "NCHW"),
+}
+
+_PRECISION = {
+    "default": lax.Precision.DEFAULT,
+    "high": lax.Precision.HIGH,
+    "highest": lax.Precision.HIGHEST,
+}
+
+
+def spatial_dims(layout: str) -> Tuple[int, int]:
+    return (1, 2) if layout == "NHWC" else (2, 3)
+
+
+def channel_dim(layout: str) -> int:
+    return 3 if layout == "NHWC" else 1
+
+
+def conv2d(
+    x: jax.Array,
+    w: jax.Array,
+    *,
+    stride: int = 1,
+    layout: str = "NHWC",
+    padding: Optional[Tuple[Tuple[int, int], Tuple[int, int]]] = None,
+    precision: str = "highest",
+) -> jax.Array:
+    """Convolution with reference-centered windows by default.
+
+    x: (N,H,W,C) or (N,C,H,W); w: (kh,kw,in,out) HWIO.
+    """
+    kh, kw = w.shape[0], w.shape[1]
+    hdim, wdim = spatial_dims(layout)
+    if padding is None:
+        padding = (
+            reference_padding(x.shape[hdim], kh, stride),
+            reference_padding(x.shape[wdim], kw, stride),
+        )
+    return lax.conv_general_dilated(
+        x,
+        w.astype(x.dtype),
+        window_strides=(stride, stride),
+        padding=padding,
+        dimension_numbers=_DIM_NUMBERS[layout],
+        precision=_PRECISION[precision],
+    )

@@ -1,0 +1,40 @@
+"""Cross-entropy loss with the reference's gradient convention.
+
+The reference's backward starts from grad_logits = softmax - onehot summed
+over the batch — the batch-averaging kernel exists but is deliberately
+disabled (averageDerivOverBatchSize declared at resnet.cu:583, commented out
+of use at resnet.cu:1806-1811). d/dlogits of sum_i(-log softmax_i[label_i])
+is exactly that, so reduction='sum' reproduces the reference training
+dynamics; 'mean' is the conventional choice.
+
+Loss *reporting* in the reference is the batch-average of -log p[label]
+(resnet.cu:3360-3380), independent of the gradient scaling.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .softmax import log_softmax
+
+
+def cross_entropy(
+    logits: jax.Array,
+    labels: jax.Array,
+    *,
+    reduction: str = "sum",
+) -> jax.Array:
+    logp = log_softmax(logits.astype(jnp.float32))
+    nll = -jnp.take_along_axis(logp, labels[:, None].astype(jnp.int32), axis=1)[:, 0]
+    if reduction == "sum":
+        return jnp.sum(nll)
+    if reduction == "mean":
+        return jnp.mean(nll)
+    if reduction == "none":
+        return nll
+    raise ValueError(f"unknown reduction {reduction!r}")
+
+
+def top1_accuracy(logits: jax.Array, labels: jax.Array) -> jax.Array:
+    return jnp.mean((jnp.argmax(logits, axis=-1) == labels).astype(jnp.float32))

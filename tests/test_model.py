@@ -1,0 +1,157 @@
+"""Model-level tests: shapes, init statistics, reference topology, and a
+numpy re-implementation cross-check of the head — the analogue of
+analyze_trainer_dump.ipynb cells 32-53 (FC/softmax/avg-pool numpy checks)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from resnet_tpu.config import ExecutionConfig, ModelConfig, model_config, tiny_model_config
+from resnet_tpu.models import forward, init_bn_state, init_params, param_count
+
+
+def test_resnet50_param_registry_matches_reference():
+    cfg = model_config("resnet50")
+    params = init_params(jax.random.key(0), cfg)
+    # Reference flat registry: 16 + 9*n_blocks = 160 tensors (resnet.cu:819).
+    n_tensors = 3 + 1  # init conv + bn(2) + fc
+    for i, b in enumerate(params["blocks"]):
+        n_tensors += 9 + (3 if "proj" in b else 0)
+    assert n_tensors == 16 + 9 * 16
+    # 4 projection blocks at stage starts 0/3/7/13 (resnet.cu:3256-3258)
+    proj_idx = [i for i, b in enumerate(params["blocks"]) if "proj" in b]
+    assert proj_idx == [0, 3, 7, 13]
+    # Stage-transition projections are 3x3 (reference quirk resnet.cu:770-797)
+    assert params["blocks"][0]["proj"]["w"].shape == (1, 1, 64, 256)
+    assert params["blocks"][3]["proj"]["w"].shape == (3, 3, 256, 512)
+    assert params["blocks"][7]["proj"]["w"].shape == (3, 3, 512, 1024)
+    assert params["blocks"][13]["proj"]["w"].shape == (3, 3, 1024, 2048)
+    # stem + fc shapes
+    assert params["init_conv"]["w"].shape == (7, 7, 3, 64)
+    assert params["fc"]["w"].shape == (2048, 1000)
+    # The reference's 3x3 stage projections add ~22M params over the
+    # standard 1x1 ResNet-50 (25.56M): total ~47.6M.
+    assert 47_000_000 < param_count(params) < 48_000_000
+    # Standard projection mode recovers the torchvision param count.
+    std = init_params(
+        jax.random.key(0), model_config("resnet50", stride_projection_kernel=1)
+    )
+    assert 25_400_000 < param_count(std) < 25_700_000
+
+
+def test_init_statistics_match_reference_variances():
+    cfg = model_config("resnet50")
+    params = init_params(jax.random.key(0), cfg)
+    # stem: var = 2/(49*(3+64))
+    w = np.asarray(params["init_conv"]["w"])
+    assert w.std() == pytest.approx(np.sqrt(2.0 / (49 * 67)), rel=0.1)
+    # block-0 reduce 1x1: var = 2/(64+64)
+    w = np.asarray(params["blocks"][0]["reduce"]["w"])
+    assert w.std() == pytest.approx(np.sqrt(2.0 / 128), rel=0.15)
+    # fc: var = 1e-4 -> std 0.01 (resnet.cu:938)
+    w = np.asarray(params["fc"]["w"])
+    assert w.std() == pytest.approx(0.01, rel=0.05)
+    # all gammas are 1, betas 0 (resnet.cu:684-708)
+    for b in params["blocks"]:
+        for k in b:
+            if k.startswith("bn_"):
+                assert np.all(np.asarray(b[k]["gamma"]) == 1.0)
+                assert np.all(np.asarray(b[k]["beta"]) == 0.0)
+
+
+def test_forward_shapes_tiny():
+    cfg = tiny_model_config()
+    ecfg = ExecutionConfig()
+    params = init_params(jax.random.key(0), cfg)
+    x = jnp.ones((2, cfg.input_dim, cfg.input_dim, 3))
+    logits, aux = forward(params, x, cfg, ecfg)
+    assert logits.shape == (2, cfg.num_classes)
+    assert logits.dtype == jnp.float32
+    assert len(aux["bn_stats"]["blocks"]) == cfg.num_blocks
+
+
+def test_forward_resnet50_shapes_and_activations():
+    cfg = model_config("resnet50", input_dim=64)  # small spatial, full depth
+    params = init_params(jax.random.key(0), cfg)
+    x = jnp.ones((1, 64, 64, 3))
+    logits, aux = forward(params, x, cfg, capture=True)
+    acts = aux["activations"]
+    assert acts["init_conv_applied"].shape == (1, 32, 32, 64)
+    assert acts["init_convblock_input"].shape == (1, 16, 16, 64)
+    assert acts["block_00"]["output_activated"].shape == (1, 16, 16, 256)
+    assert acts["block_03"]["output_activated"].shape == (1, 8, 8, 512)
+    assert acts["block_15"]["output_activated"].shape == (1, 2, 2, 2048)
+    assert acts["final_avg_pool"].shape == (1, 2048)
+    assert logits.shape == (1, 1000)
+    # probabilities sum to 1
+    np.testing.assert_allclose(np.asarray(acts["pred"]).sum(), 1.0, rtol=1e-5)
+
+
+def test_head_matches_numpy_reimplementation(rng):
+    """Numpy recheck of avg-pool -> FC -> softmax, the reference's
+    output-fidelity gate (analyze_trainer_dump.ipynb cells 32-47)."""
+    cfg = tiny_model_config()
+    params = init_params(jax.random.key(1), cfg)
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 3), dtype=np.float32))
+    logits, aux = forward(params, x, cfg, capture=True)
+    acts = aux["activations"]
+    last_block = acts[f"block_{cfg.num_blocks - 1:02d}"]["output_activated"]
+    pooled_np = np.asarray(last_block).mean(axis=(1, 2))
+    np.testing.assert_allclose(np.asarray(acts["final_avg_pool"]), pooled_np, rtol=1e-5, atol=1e-6)
+    logits_np = pooled_np @ np.asarray(params["fc"]["w"])
+    np.testing.assert_allclose(np.asarray(logits), logits_np, rtol=1e-4, atol=1e-5)
+    p_np = np.exp(logits_np) / np.exp(logits_np).sum(axis=1, keepdims=True)
+    np.testing.assert_allclose(np.asarray(acts["pred"]), p_np, rtol=1e-4, atol=1e-6)
+
+
+def test_eval_mode_uses_running_stats():
+    cfg = tiny_model_config()
+    params = init_params(jax.random.key(0), cfg)
+    state = init_bn_state(cfg)
+    x = jnp.ones((2, 16, 16, 3))
+    logits, _ = forward(params, x, cfg, train=False, bn_state=state)
+    assert logits.shape == (2, cfg.num_classes)
+    # train-mode on constant input: BN variance 0 -> output defined; just
+    # check eval != train here (different stats).
+    logits_tr, _ = forward(params, x, cfg, train=True)
+    assert not np.allclose(np.asarray(logits), np.asarray(logits_tr))
+
+
+def test_remat_matches_no_remat():
+    cfg = tiny_model_config()
+    params = init_params(jax.random.key(0), cfg)
+    x = jax.random.normal(jax.random.key(2), (2, 16, 16, 3))
+    labels = jnp.asarray([1, 3])
+
+    def loss(p, ecfg):
+        from resnet_tpu.ops import cross_entropy
+
+        logits, _ = forward(p, x, cfg, ecfg)
+        return cross_entropy(logits, labels)
+
+    g_plain = jax.grad(lambda p: loss(p, ExecutionConfig(remat="none")))(params)
+    g_remat = jax.grad(lambda p: loss(p, ExecutionConfig(remat="block")))(params)
+    for a, b in zip(jax.tree.leaves(g_plain), jax.tree.leaves(g_remat)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
+def test_basic_block_resnet18():
+    cfg = model_config("resnet18", input_dim=32)
+    params = init_params(jax.random.key(0), cfg)
+    x = jnp.ones((2, 32, 32, 3))
+    logits, _ = forward(params, x, cfg)
+    assert logits.shape == (2, 1000)
+    # resnet18 proj blocks: stage starts with channel change (stages 2-4)
+    proj_idx = [i for i, b in enumerate(params["blocks"]) if "proj" in b]
+    assert proj_idx == [2, 4, 6]
+
+
+def test_bf16_compute_close_to_fp32(rng):
+    cfg = tiny_model_config()
+    params = init_params(jax.random.key(0), cfg)
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 3), dtype=np.float32))
+    lf, _ = forward(params, x, cfg, ExecutionConfig(compute_dtype="float32"))
+    lb, _ = forward(params, x, cfg, ExecutionConfig(compute_dtype="bfloat16"))
+    assert lb.dtype == jnp.float32  # logits always fp32
+    np.testing.assert_allclose(np.asarray(lf), np.asarray(lb), rtol=0.1, atol=0.15)

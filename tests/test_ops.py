@@ -1,0 +1,170 @@
+"""Op-level parity tests against independent numpy references — the
+analogue of the reference's in-binary GPU-vs-CPU kernel tests
+(testConvolution resnet.cu:3109-3218, testMatMul resnet.cu:3033-3107)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from resnet_tpu.ops import (
+    batch_norm,
+    conv2d,
+    cross_entropy,
+    global_avg_pool,
+    max_pool,
+    reference_padding,
+    relu,
+    softmax,
+)
+
+
+def np_conv2d_reference(x, w, stride):
+    """Direct NHWC conv with reference window geometry: out = in // stride,
+    window centered at stride*o with offsets -k//2..k//2, OOB taps = 0
+    (doConvolution, resnet.cu:109-157)."""
+    n, h, wdim, cin = x.shape
+    kh, kw, _, cout = w.shape
+    oh, ow = h // stride, wdim // stride
+    out = np.zeros((n, oh, ow, cout), np.float32)
+    half_h, half_w = kh // 2, kw // 2
+    for oi in range(oh):
+        for oj in range(ow):
+            ci, cj = stride * oi, stride * oj
+            for di in range(-half_h, half_h + 1):
+                for dj in range(-half_w, half_w + 1):
+                    si, sj = ci + di, cj + dj
+                    if si < 0 or si >= h or sj < 0 or sj >= wdim:
+                        continue
+                    # (n,cin) x (cin,cout)
+                    out[:, oi, oj, :] += x[:, si, sj, :] @ w[di + half_h, dj + half_w]
+    return out
+
+
+@pytest.mark.parametrize(
+    "h,k,stride", [(8, 3, 1), (8, 3, 2), (8, 1, 1), (8, 1, 2), (14, 7, 2), (8, 7, 1)]
+)
+def test_conv2d_matches_reference_geometry(rng, h, k, stride):
+    x = rng.standard_normal((2, h, h, 3), dtype=np.float32)
+    w = rng.standard_normal((k, k, 3, 5), dtype=np.float32)
+    got = np.asarray(conv2d(jnp.asarray(x), jnp.asarray(w), stride=stride))
+    want = np_conv2d_reference(x, w, stride)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_conv2d_nchw_matches_nhwc(rng):
+    x = rng.standard_normal((2, 8, 8, 3), dtype=np.float32)
+    w = rng.standard_normal((3, 3, 3, 4), dtype=np.float32)
+    y_nhwc = np.asarray(conv2d(jnp.asarray(x), jnp.asarray(w), stride=2))
+    x_nchw = jnp.asarray(x.transpose(0, 3, 1, 2))
+    y_nchw = np.asarray(conv2d(x_nchw, jnp.asarray(w), stride=2, layout="NCHW"))
+    np.testing.assert_allclose(y_nchw.transpose(0, 2, 3, 1), y_nhwc, rtol=1e-5, atol=1e-5)
+
+
+def test_reference_padding_values():
+    # k=7, s=2, in=224: reference pads (3, 2); XLA SAME would pad (2, 3).
+    assert reference_padding(224, 7, 2) == (3, 2)
+    # k=3, s=2, in=112 (maxpool): (1, 0)
+    assert reference_padding(112, 3, 2) == (1, 0)
+    # k=3, s=1: symmetric (1, 1)
+    assert reference_padding(56, 3, 1) == (1, 1)
+    # k=1, s=2: negative hi pad (crops odd rows/cols)
+    assert reference_padding(56, 1, 2) == (0, -1)
+
+
+def test_batch_norm_matches_numpy(rng):
+    x = rng.standard_normal((4, 6, 6, 8), dtype=np.float32)
+    gamma = rng.standard_normal(8, dtype=np.float32)
+    beta = rng.standard_normal(8, dtype=np.float32)
+    eps = 1e-7
+    y, (mean, var) = batch_norm(jnp.asarray(x), jnp.asarray(gamma), jnp.asarray(beta), eps=eps)
+    m = x.mean(axis=(0, 1, 2))
+    v = x.var(axis=(0, 1, 2))  # biased, matches doBatchNormAndActivate
+    want = gamma * (x - m) / np.sqrt(v + eps) + beta
+    np.testing.assert_allclose(np.asarray(y), want, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(mean), m, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(var), v, rtol=1e-4, atol=1e-5)
+
+
+def test_batch_norm_backward_matches_numerical(rng):
+    # Check BN input gradient against central differences — the analogue of
+    # validating activationAndBatchNormDeriv (resnet.cu:350-430).
+    x = rng.standard_normal((2, 3, 3, 4)).astype(np.float64)
+    gamma = rng.standard_normal(4)
+    beta = rng.standard_normal(4)
+
+    def f(x64):
+        y, _ = batch_norm(
+            x64, jnp.asarray(gamma), jnp.asarray(beta), eps=1e-7
+        )
+        return jnp.sum(jnp.sin(y))  # arbitrary downstream
+
+    with jax.enable_x64(True):
+        g = jax.grad(f)(jnp.asarray(x))
+        eps = 1e-6
+        for idx in [(0, 0, 0, 0), (1, 2, 1, 3), (0, 1, 2, 2)]:
+            xp = x.copy(); xp[idx] += eps
+            xm = x.copy(); xm[idx] -= eps
+            num = (float(f(jnp.asarray(xp))) - float(f(jnp.asarray(xm)))) / (2 * eps)
+            assert abs(float(g[idx]) - num) < 1e-5
+
+
+def test_max_pool_matches_numpy(rng):
+    x = rng.standard_normal((2, 8, 8, 4), dtype=np.float32)
+    got = np.asarray(max_pool(jnp.asarray(x), kernel=3, stride=2))
+    n, h, w, c = x.shape
+    want = np.full((n, 4, 4, c), -np.inf, np.float32)
+    for oi in range(4):
+        for oj in range(4):
+            for di in (-1, 0, 1):
+                for dj in (-1, 0, 1):
+                    si, sj = 2 * oi + di, 2 * oj + dj
+                    if 0 <= si < h and 0 <= sj < w:
+                        want[:, oi, oj] = np.maximum(want[:, oi, oj], x[:, si, sj])
+    np.testing.assert_allclose(got, want)
+
+
+def test_max_pool_grad_scatters_to_argmax(rng):
+    # Gradient must flow only to the max element of each window
+    # (maxPoolDeriv, resnet.cu:476-497).
+    x = rng.standard_normal((1, 4, 4, 1), dtype=np.float32)
+    g = jax.grad(lambda t: jnp.sum(max_pool(t, kernel=3, stride=2)))(jnp.asarray(x))
+    g = np.asarray(g)
+    assert g.sum() == pytest.approx(4.0)  # 4 windows, one unit of grad each
+    assert ((g == 0) | (g >= 1)).all()
+
+
+def test_global_avg_pool(rng):
+    x = rng.standard_normal((3, 7, 7, 5), dtype=np.float32)
+    got = np.asarray(global_avg_pool(jnp.asarray(x)))
+    np.testing.assert_allclose(got, x.mean(axis=(1, 2)), rtol=1e-6, atol=1e-6)
+
+
+def test_relu_grad_gate_strict(rng):
+    # reference zeroes gradient at x <= 0 strictly (resnet.cu:558-563)
+    x = jnp.asarray([-1.0, 0.0, 2.0])
+    g = jax.grad(lambda t: jnp.sum(relu(t)))(x)
+    np.testing.assert_array_equal(np.asarray(g), [0.0, 0.0, 1.0])
+
+
+def test_softmax_naive_matches_reference_formula(rng):
+    x = rng.standard_normal((4, 10), dtype=np.float32)
+    got = np.asarray(softmax(jnp.asarray(x), stable=False))
+    want = np.exp(x) / np.exp(x).sum(axis=1, keepdims=True)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+    # stable version agrees on safe inputs
+    np.testing.assert_allclose(
+        np.asarray(softmax(jnp.asarray(x), stable=True)), want, rtol=1e-5, atol=1e-6
+    )
+
+
+def test_cross_entropy_sum_grad_is_softmax_minus_onehot(rng):
+    # The reference's backward seed: grad logits = softmax - onehot, summed
+    # over batch, never averaged (resnet.cu:1800-1811).
+    logits = jnp.asarray(rng.standard_normal((4, 6), dtype=np.float32))
+    labels = jnp.asarray([1, 3, 0, 5])
+    g = jax.grad(lambda l: cross_entropy(l, labels, reduction="sum"))(logits)
+    p = np.asarray(softmax(logits))
+    onehot = np.eye(6, dtype=np.float32)[np.asarray(labels)]
+    np.testing.assert_allclose(np.asarray(g), p - onehot, rtol=1e-5, atol=1e-6)
