@@ -1,0 +1,95 @@
+"""Benchmark: ResNet-50 training throughput (images/sec/chip).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: 3000 images/sec/chip on TPU v5e (BASELINE.md driver target).
+
+Runs the full jitted train step (fwd + CE + bwd + guarded Adam) on synthetic
+data in the fast configuration (bf16 compute ~ the reference's TensorCore
+fast variant, resnet_cudnn_fast.cu + Makefile:25-28).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import numpy as np
+
+BASELINE_IMG_PER_SEC_PER_CHIP = 3000.0
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch-size", type=int, default=0, help="0 = auto")
+    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--warmup", type=int, default=3)
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--remat", default="none")
+    args = ap.parse_args()
+
+    from resnet_tpu.config import (
+        DataConfig,
+        ExecutionConfig,
+        OptimizerConfig,
+        TrainConfig,
+        model_config,
+    )
+    from resnet_tpu.train import init_train_state, make_train_step
+
+    platform = jax.devices()[0].platform
+    on_tpu = platform == "tpu"
+    batch = args.batch_size or (256 if on_tpu else 16)
+    image_dim = 224 if on_tpu else 64
+
+    cfg = TrainConfig(
+        model=model_config("resnet50", input_dim=image_dim),
+        execution=ExecutionConfig(
+            compute_dtype=args.dtype,
+            matmul_precision="default",
+            remat=args.remat,
+        ),
+        optimizer=OptimizerConfig(),
+        data=DataConfig(batch_size=batch, synthetic=True),
+    )
+
+    state = init_train_state(cfg)
+    step = make_train_step(cfg)
+
+    rng = np.random.default_rng(0)
+    images = jax.device_put(
+        rng.normal(0, 50, (batch, image_dim, image_dim, 3)).astype(np.float32)
+    )
+    labels = jax.device_put(
+        rng.integers(0, 1000, (batch,)).astype(np.int32)
+    )
+    b = {"images": images, "labels": labels}
+
+    for _ in range(args.warmup):
+        state, metrics = step(state, b)
+    jax.block_until_ready(metrics["loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        state, metrics = step(state, b)
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+
+    img_per_sec = batch * args.steps / dt
+    n_chips = max(1, len(jax.devices()))
+    per_chip = img_per_sec / n_chips
+    print(
+        json.dumps(
+            {
+                "metric": "resnet50_train_images_per_sec_per_chip",
+                "value": round(per_chip, 2),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(per_chip / BASELINE_IMG_PER_SEC_PER_CHIP, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

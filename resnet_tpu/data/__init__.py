@@ -1,0 +1,16 @@
+from .metadata import ClassMetadata, load_class_metadata
+from .prefetch import DevicePrefetcher, prefetch_to_device
+from .shards import ShardCursor, ShardDataset, ShardIterator, write_shard
+from .synthetic import SyntheticDataset
+
+__all__ = [
+    "ClassMetadata",
+    "load_class_metadata",
+    "ShardCursor",
+    "ShardDataset",
+    "ShardIterator",
+    "write_shard",
+    "SyntheticDataset",
+    "DevicePrefetcher",
+    "prefetch_to_device",
+]

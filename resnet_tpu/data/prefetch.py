@@ -1,0 +1,74 @@
+"""Host->device prefetching.
+
+The reference's input path is fully synchronous: fread + memcpy + cudaMemcpy
+on the training thread every step (load_new_batch, resnet.cu:1235-1325), a
+known bottleneck its own comment concedes (resnet.cu:1233). Here a
+background thread stages the next ``depth`` batches onto the device while
+the current step computes — the double-buffered pipeline SURVEY.md section 7
+calls for. With a mesh, batches land pre-sharded across the data axis so
+the transfer rides all hosts' PCIe links in parallel.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Optional
+
+import jax
+
+
+class DevicePrefetcher:
+    def __init__(self, source: Iterator, *, depth: int = 2, sharding=None):
+        self.source = source
+        self.depth = depth
+        self.sharding = sharding
+        self._q: queue.Queue = queue.Queue(maxsize=depth)
+        self._done = object()
+        self._err: Optional[BaseException] = None
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    def _put(self, batch):
+        if self.sharding is not None:
+            return {
+                k: jax.device_put(
+                    v,
+                    self.sharding[k]
+                    if isinstance(self.sharding, dict)
+                    else self.sharding,
+                )
+                for k, v in batch.items()
+            }
+        return jax.tree.map(jax.device_put, batch)
+
+    def _worker(self):
+        try:
+            for batch in self.source:
+                self._q.put(self._put(batch))
+        except BaseException as e:  # surfaced on the consumer thread
+            self._err = e
+        finally:
+            self._q.put(self._done)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is self._done:
+            if self._err is not None:
+                raise self._err
+            raise StopIteration
+        return item
+
+
+def prefetch_to_device(source, *, depth: int = 2, mesh=None, data_axis: str = "data"):
+    """Wrap a host batch iterator in a device prefetcher; with a mesh the
+    batch is sharded along the data axis."""
+    sharding = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sharding = NamedSharding(mesh, P(data_axis))
+    return DevicePrefetcher(source, depth=depth, sharding=sharding)

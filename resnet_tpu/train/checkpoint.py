@@ -1,0 +1,210 @@
+"""Checkpoint / resume with the reference's dump schema.
+
+dump_trainer (resnet.cu:2250-2772) writes, under <dump_dir>/<%08d dump_id>/:
+  model_params/%03d.buffer   raw float32 per tensor in flat-registry order
+  means/%03d.buffer          Adam first moments
+  vars/%03d.buffer           Adam second moments
+  gradients/%03d.buffer      (reference dumps these too; optional here)
+  trainer_checkpoint.txt     shard cursor, Adam decay products, counters
+  trainer_metadata.txt       hyperparams + loss/accuracy history
+
+overwrite_trainer_hyperparams/overwrite_model_params (resnet.cu:2778-2875)
+restore exactly the checkpoint fields + params + m/v. Sentinel ids: 77777777
+final dump (resnet.cu:3424), 99999999 NaN crash dump (check_errors,
+resnet.cu:2903).
+
+The reference's flat registry is locations[]/sizes[] built at init
+(resnet.cu:819); ours is the sorted pytree-path flatten of the params tree,
+written alongside as registry.txt so dumps are self-describing. Unlike the
+reference, dump directories are created on demand (the reference required
+pre-creating 8000 dirs via build_dirs_for_dumping.ipynb).
+
+A compact single-file .npz format ("save_npz") is also provided for
+routine checkpoints; the buffer-tree format exists for parity tooling and
+the fidelity harness.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import numpy as np
+
+from ..data.shards import ShardCursor
+from ..optim import GuardedAdamState
+from ..optim.sgd import SGDState
+from .state import TrainState
+
+FINAL_DUMP_ID = 77777777  # resnet.cu:3424
+NAN_DUMP_ID = 99999999  # resnet.cu:2903
+
+
+def _path_str(path) -> str:
+    parts = []
+    for p in path:
+        if hasattr(p, "key"):
+            parts.append(str(p.key))
+        elif hasattr(p, "idx"):
+            parts.append(str(p.idx))
+        else:
+            parts.append(str(p))
+    return "/".join(parts)
+
+
+def flat_registry(params) -> List[Tuple[str, Any]]:
+    """Deterministic (name, leaf) registry over the param pytree — the
+    idiomatic analogue of Params.locations/sizes (resnet.h:83-87)."""
+    leaves = jax.tree_util.tree_flatten_with_path(params)[0]
+    return [(_path_str(path), leaf) for path, leaf in leaves]
+
+
+def _write_buffers(directory: str, registry: List[Tuple[str, Any]]):
+    os.makedirs(directory, exist_ok=True)
+    for i, (_, leaf) in enumerate(registry):
+        np.asarray(leaf, dtype=np.float32).tofile(
+            os.path.join(directory, f"{i:03d}.buffer")
+        )
+
+
+def _read_buffers(directory: str, template) -> Any:
+    leaves, treedef = jax.tree.flatten(template)
+    out = []
+    for i, leaf in enumerate(leaves):
+        buf = np.fromfile(
+            os.path.join(directory, f"{i:03d}.buffer"), dtype=np.float32
+        )
+        arr = buf.reshape(np.shape(leaf)).astype(np.asarray(leaf).dtype)
+        out.append(arr)
+    return treedef.unflatten(out)
+
+
+def dump_id_dir(dump_dir: str, dump_id: int) -> str:
+    return os.path.join(dump_dir, f"{dump_id:08d}")
+
+
+def save_checkpoint(
+    dump_dir: str,
+    dump_id: int,
+    state: TrainState,
+    cursor: ShardCursor,
+    *,
+    metadata: Optional[Dict[str, Any]] = None,
+    include_grads=None,
+):
+    """Buffer-tree checkpoint in the reference schema."""
+    root = dump_id_dir(dump_dir, dump_id)
+    os.makedirs(root, exist_ok=True)
+    state = jax.device_get(state)
+
+    reg = flat_registry(state.params)
+    _write_buffers(os.path.join(root, "model_params"), reg)
+    with open(os.path.join(root, "registry.txt"), "w") as f:
+        for i, (name, leaf) in enumerate(reg):
+            f.write(f"{i:03d} {name} {'x'.join(map(str, np.shape(leaf)))}\n")
+
+    is_adam = isinstance(state.opt_state, GuardedAdamState)
+    if is_adam:
+        _write_buffers(os.path.join(root, "means"), flat_registry(state.opt_state.means))
+        _write_buffers(os.path.join(root, "vars"), flat_registry(state.opt_state.vars))
+    elif isinstance(state.opt_state, SGDState):
+        _write_buffers(
+            os.path.join(root, "momentum"), flat_registry(state.opt_state.momentum_buf)
+        )
+    if include_grads is not None:
+        _write_buffers(os.path.join(root, "gradients"), flat_registry(include_grads))
+    if state.bn_state is not None:
+        _write_buffers(os.path.join(root, "bn_state"), flat_registry(state.bn_state))
+
+    # trainer_checkpoint.txt: the six resume fields (resnet.cu:2733-2753)
+    ckpt = {
+        "cur_shard": cursor.shard,
+        "cur_batch_in_shard": cursor.batch_in_shard,
+        "cur_epoch": cursor.epoch,
+        "cur_dump_id": int(state.step),
+        "opt_step": int(np.asarray(state.opt_state.step)),
+    }
+    if is_adam:
+        ckpt["cur_mean_decay"] = float(np.asarray(state.opt_state.mean_decay_prod))
+        ckpt["cur_var_decay"] = float(np.asarray(state.opt_state.var_decay_prod))
+    with open(os.path.join(root, "trainer_checkpoint.txt"), "w") as f:
+        for k, v in ckpt.items():
+            f.write(f"{k}: {v}\n")
+
+    with open(os.path.join(root, "trainer_metadata.txt"), "w") as f:
+        f.write(json.dumps(metadata or {}, indent=2, default=float))
+    return root
+
+
+def restore_checkpoint(
+    dump_dir: str, dump_id: int, state_template: TrainState
+) -> Tuple[TrainState, ShardCursor]:
+    root = dump_id_dir(dump_dir, dump_id)
+    params = _read_buffers(os.path.join(root, "model_params"), state_template.params)
+
+    ckpt: Dict[str, str] = {}
+    with open(os.path.join(root, "trainer_checkpoint.txt")) as f:
+        for line in f:
+            k, _, v = line.partition(":")
+            ckpt[k.strip()] = v.strip()
+
+    opt = state_template.opt_state
+    if isinstance(opt, GuardedAdamState):
+        opt = GuardedAdamState(
+            means=_read_buffers(os.path.join(root, "means"), opt.means),
+            vars=_read_buffers(os.path.join(root, "vars"), opt.vars),
+            mean_decay_prod=np.float32(ckpt["cur_mean_decay"]),
+            var_decay_prod=np.float32(ckpt["cur_var_decay"]),
+            step=np.int32(int(ckpt["opt_step"])),
+        )
+    elif isinstance(opt, SGDState):
+        opt = SGDState(
+            momentum_buf=_read_buffers(os.path.join(root, "momentum"), opt.momentum_buf),
+            step=np.int32(int(ckpt["opt_step"])),
+        )
+
+    bn_state = state_template.bn_state
+    if bn_state is not None and os.path.isdir(os.path.join(root, "bn_state")):
+        bn_state = _read_buffers(os.path.join(root, "bn_state"), bn_state)
+
+    state = TrainState(
+        params=params,
+        opt_state=opt,
+        bn_state=bn_state,
+        step=np.int32(int(ckpt["cur_dump_id"])),
+    )
+    cursor = ShardCursor(
+        shard=int(ckpt["cur_shard"]),
+        batch_in_shard=int(ckpt["cur_batch_in_shard"]),
+        epoch=int(ckpt["cur_epoch"]),
+    )
+    return state, cursor
+
+
+def save_npz(path: str, state: TrainState, cursor: ShardCursor, metadata=None):
+    """Compact single-file checkpoint (routine training use)."""
+    state = jax.device_get(state)
+    flat, _ = jax.tree_util.tree_flatten_with_path(state._asdict())
+    arrays = {_path_str(p): np.asarray(v) for p, v in flat}
+    arrays["__cursor__"] = np.asarray([cursor.shard, cursor.batch_in_shard, cursor.epoch])
+    if metadata:
+        arrays["__metadata__"] = np.frombuffer(
+            json.dumps(metadata, default=float).encode(), dtype=np.uint8
+        )
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    np.savez(path, **arrays)
+
+
+def restore_npz(path: str, state_template: TrainState) -> Tuple[TrainState, ShardCursor]:
+    with np.load(path) as data:
+        flat, treedef = jax.tree_util.tree_flatten_with_path(state_template._asdict())
+        restored = [
+            np.asarray(data[_path_str(p)]).astype(np.asarray(v).dtype).reshape(np.shape(v))
+            for p, v in flat
+        ]
+        d = treedef.unflatten(restored)
+        cur = data["__cursor__"]
+    state = TrainState(**d)
+    return state, ShardCursor(shard=int(cur[0]), batch_in_shard=int(cur[1]), epoch=int(cur[2]))

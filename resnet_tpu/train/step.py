@@ -1,0 +1,173 @@
+"""Jitted train / eval steps.
+
+One train step fuses the reference's four per-iteration phases —
+forward_pass, loss/accuracy, backwards_pass, update_parameters
+(resnet.cu:3340-3404) — into a single XLA program: forward + CE + autodiff
+backward + guarded Adam, with no host synchronization between phases (the
+reference calls cudaDeviceSynchronize between each, resnet.cu:3342-3404).
+
+Gradient convention matches the reference: CE grad is summed over the batch,
+not averaged (resnet.cu:1806-1811). The *reported* loss is the batch mean of
+-log p[label] (resnet.cu:3360-3380).
+
+Data parallelism: with a mesh, the same step function is jitted with the
+batch sharded over the 'data' axis and state replicated; XLA inserts the
+gradient all-reduce over ICI (SURVEY.md section 2.7). An explicit shard_map
+variant lives in parallel/data_parallel.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import TrainConfig
+from ..models import forward
+from ..ops import cross_entropy, top1_accuracy, update_running_stats
+from ..optim import adam_update, make_schedule, sgd_update
+from .state import TrainState
+
+
+def _loss_fn(params, batch, bn_state, cfg: TrainConfig):
+    images, labels = batch["images"], batch["labels"]
+    logits, aux = forward(
+        params, images, cfg.model, cfg.execution, train=True, bn_state=bn_state
+    )
+    loss = cross_entropy(logits, labels, reduction="sum")
+    return loss, (logits, aux)
+
+
+def _merge_running_stats(bn_state, bn_stats, momentum: float):
+    """EMA running-stat update keyed to matching pytree paths."""
+    if bn_state is None:
+        return None
+
+    def upd(state_leaf, mean, var):
+        new_mean, new_var = update_running_stats(
+            state_leaf["mean"], state_leaf["var"], mean, var, momentum
+        )
+        return {"mean": new_mean, "var": new_var}
+
+    new_state = {
+        "init_bn": upd(bn_state["init_bn"], *bn_stats["init_bn"]),
+        "blocks": [
+            {k: upd(sb[k], *bb[k]) for k in sb}
+            for sb, bb in zip(bn_state["blocks"], bn_stats["blocks"])
+        ],
+    }
+    return new_state
+
+
+def _apply_optimizer(grads, state: TrainState, cfg: TrainConfig):
+    ocfg = cfg.optimizer
+    schedule = make_schedule(ocfg)
+    lr = schedule(state.opt_state.step)
+    if ocfg.name == "adam":
+        new_params, new_opt = adam_update(
+            grads,
+            state.opt_state,
+            state.params,
+            learning_rate=lr,
+            weight_decay=ocfg.weight_decay,
+            beta1=ocfg.beta1,
+            beta2=ocfg.beta2,
+            eps=ocfg.eps,
+            nonfinite_guard=ocfg.nonfinite_guard,
+        )
+    elif ocfg.name == "sgd":
+        new_params, new_opt = sgd_update(
+            grads,
+            state.opt_state,
+            state.params,
+            learning_rate=lr,
+            momentum=ocfg.momentum,
+            weight_decay=ocfg.weight_decay,
+        )
+    else:
+        raise ValueError(f"unknown optimizer {ocfg.name!r}")
+    return new_params, new_opt, lr
+
+
+def train_step(state: TrainState, batch, cfg: TrainConfig):
+    """Pure train step: (state, batch) -> (new_state, metrics)."""
+    (loss_sum, (logits, aux)), grads = jax.value_and_grad(
+        _loss_fn, has_aux=True
+    )(state.params, batch, state.bn_state, cfg)
+
+    new_params, new_opt, lr = _apply_optimizer(grads, state, cfg)
+    new_bn = _merge_running_stats(
+        state.bn_state, aux["bn_stats"], cfg.model.bn_momentum
+    )
+    batch_n = batch["labels"].shape[0]
+    metrics = {
+        "loss": loss_sum / batch_n,  # reported mean, resnet.cu:3360-3380
+        "loss_sum": loss_sum,
+        "accuracy": top1_accuracy(logits, batch["labels"]),
+        "learning_rate": lr,
+        "grad_norm": jnp.sqrt(
+            sum(jnp.sum(jnp.square(g.astype(jnp.float32))) for g in jax.tree.leaves(grads))
+        ),
+    }
+    new_state = TrainState(
+        params=new_params,
+        opt_state=new_opt,
+        bn_state=new_bn,
+        step=state.step + 1,
+    )
+    return new_state, metrics
+
+
+def eval_step(state: TrainState, batch, cfg: TrainConfig):
+    logits, _ = forward(
+        state.params,
+        batch["images"],
+        cfg.model,
+        cfg.execution,
+        train=False,
+        bn_state=state.bn_state,
+    )
+    loss = cross_entropy(logits, batch["labels"], reduction="mean")
+    return {"loss": loss, "accuracy": top1_accuracy(logits, batch["labels"])}
+
+
+def make_train_step(cfg: TrainConfig, mesh=None, donate: bool = True):
+    """Jit the train step, optionally sharded over a data-parallel mesh.
+
+    With a mesh, batch arrays are sharded along the 'data' axis and state is
+    replicated; jit's partitioner inserts the ICI gradient all-reduce
+    (the TPU-native replacement for the absent NCCL layer, SURVEY.md 2.7).
+    """
+    fn = functools.partial(train_step, cfg=cfg)
+    kwargs: Dict[str, Any] = {}
+    if donate:
+        kwargs["donate_argnums"] = (0,)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        replicated = NamedSharding(mesh, P())
+        batch_sharded = {
+            "images": NamedSharding(mesh, P(cfg.parallel.data_axis)),
+            "labels": NamedSharding(mesh, P(cfg.parallel.data_axis)),
+        }
+        kwargs["in_shardings"] = (replicated, batch_sharded)
+        kwargs["out_shardings"] = (replicated, replicated)
+    return jax.jit(fn, **kwargs)
+
+
+def make_eval_step(cfg: TrainConfig, mesh=None):
+    fn = functools.partial(eval_step, cfg=cfg)
+    kwargs: Dict[str, Any] = {}
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        replicated = NamedSharding(mesh, P())
+        batch_sharded = {
+            "images": NamedSharding(mesh, P(cfg.parallel.data_axis)),
+            "labels": NamedSharding(mesh, P(cfg.parallel.data_axis)),
+        }
+        kwargs["in_shardings"] = (replicated, batch_sharded)
+        kwargs["out_shardings"] = replicated
+    return jax.jit(fn, **kwargs)

@@ -1,0 +1,197 @@
+"""Training driver — the TPU analogue of main()'s epoch/iter loop
+(resnet.cu:3222-3429).
+
+Per iteration the reference does: load_new_batch -> sync -> forward_pass ->
+host loss/accuracy -> backwards_pass -> update_parameters(+dump). Here the
+whole compute is one jitted step; the input pipeline prefetches batches onto
+the device(s) ahead of the step (load_new_batch's sync H2D copy replaced by
+DevicePrefetcher); metrics come back asynchronously and are logged one step
+behind so the device never waits for the host.
+
+Failure handling mirrors the reference: optional per-step finite scan of all
+trainer state (check_errors, resnet.cu:2879-2907); on a non-finite hit, full
+state dumps to sentinel id 99999999 and training aborts with a forensic
+report. Periodic checkpoints every cfg.checkpoint_every steps
+(resnet.cu:2947), final dump at sentinel 77777777 (resnet.cu:3424-3425),
+resume from cfg.resume_from (LOAD_FROM_DUMP_ID, resnet.cu:3299-3304).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Iterator, Optional
+
+import jax
+import numpy as np
+
+from ..config import TrainConfig
+from ..data import (
+    DevicePrefetcher,
+    ShardCursor,
+    ShardDataset,
+    ShardIterator,
+    SyntheticDataset,
+    prefetch_to_device,
+)
+from ..parallel import make_mesh, make_shard_map_train_step, replicate
+from ..utils import MetricsLogger, check_state_finite, nonfinite_report
+from .checkpoint import FINAL_DUMP_ID, NAN_DUMP_ID, restore_checkpoint, save_checkpoint
+from .state import TrainState, init_train_state
+from .step import make_eval_step, make_train_step
+
+
+class NonFiniteError(RuntimeError):
+    pass
+
+
+class Trainer:
+    def __init__(
+        self,
+        cfg: TrainConfig,
+        *,
+        data_source: Optional[Iterator] = None,
+        use_mesh: Optional[bool] = None,
+    ):
+        self.cfg = cfg
+        if use_mesh is None:
+            use_mesh = len(jax.devices()) > 1 or cfg.parallel.num_devices > 1
+        self.mesh = (
+            make_mesh(cfg.parallel.num_devices, cfg.parallel.data_axis)
+            if use_mesh
+            else None
+        )
+
+        self.state = init_train_state(cfg)
+        self.cursor = ShardCursor()
+        if cfg.resume_from >= 0:
+            self.state, self.cursor = restore_checkpoint(
+                cfg.checkpoint_dir, cfg.resume_from, self.state
+            )
+            print(f"resumed from dump {cfg.resume_from} at step {int(self.state.step)}")
+        if self.mesh is not None:
+            self.state = replicate(self.state, self.mesh)
+
+        if self.mesh is not None and cfg.parallel.mode == "shard_map":
+            self.train_step = make_shard_map_train_step(cfg, self.mesh)
+        else:
+            self.train_step = make_train_step(cfg, self.mesh)
+        self.eval_step = make_eval_step(cfg, self.mesh)
+
+        self._host_iter = data_source or self._build_data()
+        self.logger = MetricsLogger(cfg.checkpoint_dir, print_every=cfg.log_every)
+
+    def _build_data(self):
+        dcfg = self.cfg.data
+        if dcfg.synthetic or not dcfg.shard_dir:
+            return SyntheticDataset(
+                dcfg.batch_size,
+                image_dim=self.cfg.model.input_dim,
+                channels=self.cfg.model.in_channels,
+                num_classes=self.cfg.model.num_classes,
+                layout=self.cfg.execution.layout,
+            )
+        dataset = ShardDataset(
+            dcfg.shard_dir,
+            num_shards=dcfg.num_shards,
+            shard_images=dcfg.shard_images,
+            image_dim=self.cfg.model.input_dim,
+            channels=self.cfg.model.in_channels,
+            disk_layout=dcfg.layout,
+        )
+        return ShardIterator(
+            dataset,
+            dcfg.batch_size,
+            layout=self.cfg.execution.layout,
+            cursor=self.cursor,
+        )
+
+    def _device_iter(self):
+        return prefetch_to_device(
+            self._host_iter,
+            depth=self.cfg.data.prefetch,
+            mesh=self.mesh,
+            data_axis=self.cfg.parallel.data_axis,
+        )
+
+    def _maybe_check_errors(self):
+        if not self.cfg.check_errors:
+            return
+        ok = bool(jax.device_get(check_state_finite(self.state.params)))
+        if not ok:
+            save_checkpoint(
+                self.cfg.checkpoint_dir, NAN_DUMP_ID, self.state, self.cursor
+            )
+            report = nonfinite_report(self.state.params)
+            raise NonFiniteError(
+                "non-finite trainer state; dumped to sentinel "
+                f"{NAN_DUMP_ID}:\n" + "\n".join(report)
+            )
+
+    def run(self, num_steps: int) -> Dict[str, Any]:
+        """Train for num_steps. Returns the last metrics."""
+        cfg = self.cfg
+        it = self._device_iter()
+        pending = None  # (step, metrics) logged one step behind
+        last: Dict[str, Any] = {}
+        for _ in range(num_steps):
+            batch = next(it)
+            step_before = int(jax.device_get(self.state.step))
+            if (
+                cfg.checkpoint_every
+                and step_before % cfg.checkpoint_every == 0
+                and cfg.checkpoint_dir
+            ):
+                # dump before the update, like update_parameters
+                # (resnet.cu:2947-2950)
+                save_checkpoint(
+                    cfg.checkpoint_dir, step_before, self.state, self.cursor,
+                    metadata={"loss_history": self.logger.loss_history[-100:]},
+                )
+            self.state, metrics = self.train_step(self.state, batch)
+            if pending is not None:
+                s, m = pending
+                self.logger.log_step(s, jax.device_get(m), epoch=self.cursor.epoch)
+            pending = (step_before, metrics)
+            self._maybe_check_errors()
+        if pending is not None:
+            s, m = pending
+            last = {k: float(v) for k, v in jax.device_get(m).items()}
+            self.logger.log_step(s, last, epoch=self.cursor.epoch)
+        return last
+
+    def run_epochs(self, epochs: Optional[int] = None):
+        epochs = epochs or self.cfg.epochs
+        if isinstance(self._host_iter, ShardIterator):
+            steps_per_epoch = self._host_iter.batches_per_epoch
+        else:
+            steps_per_epoch = max(
+                1,
+                (self.cfg.data.shard_images * self.cfg.data.num_shards)
+                // self.cfg.data.batch_size,
+            )
+        for e in range(epochs):
+            self.run(steps_per_epoch)
+            self.logger.epoch_summary(e, steps_per_epoch)
+        self.finalize()
+
+    def evaluate(self, data: Iterator, num_batches: int) -> Dict[str, float]:
+        losses, accs = [], []
+        it = prefetch_to_device(
+            data, depth=self.cfg.data.prefetch, mesh=self.mesh,
+            data_axis=self.cfg.parallel.data_axis,
+        )
+        for _ in range(num_batches):
+            m = jax.device_get(self.eval_step(self.state, next(it)))
+            losses.append(float(m["loss"]))
+            accs.append(float(m["accuracy"]))
+        return {
+            "loss": float(np.mean(losses)),
+            "accuracy": float(np.mean(accs)),
+        }
+
+    def finalize(self):
+        if self.cfg.checkpoint_dir:
+            save_checkpoint(
+                self.cfg.checkpoint_dir, FINAL_DUMP_ID, self.state, self.cursor
+            )
+        self.logger.close()

@@ -1,0 +1,105 @@
+"""Data-layer tests: shard binary format round-trip, cursor/resume
+semantics, layout conversion, metadata, prefetcher."""
+
+import numpy as np
+import pytest
+
+from resnet_tpu.data import (
+    DevicePrefetcher,
+    ShardCursor,
+    ShardDataset,
+    ShardIterator,
+    SyntheticDataset,
+    load_class_metadata,
+    write_shard,
+)
+
+
+@pytest.fixture
+def shard_dir(tmp_path, rng):
+    """Two tiny shards of 8 images (4x4x3), NCHW on disk like
+    build_training_shards.c:133-147."""
+    d = str(tmp_path / "shards")
+    for s in range(2):
+        imgs = rng.normal(0, 1, (8, 3, 4, 4)).astype(np.float32)
+        labels = (np.arange(8) + 10 * s).astype(np.int32)
+        write_shard(d, s, imgs, labels)
+    return d
+
+
+def make_dataset(shard_dir):
+    return ShardDataset(
+        shard_dir, num_shards=2, shard_images=8, image_dim=4, channels=3,
+        disk_layout="NCHW",
+    )
+
+
+def test_shard_roundtrip(shard_dir, rng):
+    ds = make_dataset(shard_dir)
+    imgs, labels = ds.open_shard(0)
+    assert imgs.shape == (8, 3, 4, 4)
+    assert labels.tolist() == list(range(8))
+
+
+def test_iterator_cursor_and_epoch(shard_dir):
+    ds = make_dataset(shard_dir)
+    it = ShardIterator(ds, batch_size=4, layout="NHWC")
+    assert it.batches_per_epoch == 4
+    seen = [next(it)["labels"].tolist() for _ in range(5)]
+    assert seen[0] == [0, 1, 2, 3]
+    assert seen[1] == [4, 5, 6, 7]
+    assert seen[2] == [10, 11, 12, 13]  # shard 1
+    assert seen[3] == [14, 15, 16, 17]
+    assert seen[4] == [0, 1, 2, 3]  # wrapped; epoch advanced
+    assert it.cursor.epoch == 1
+
+
+def test_iterator_layout_conversion(shard_dir):
+    ds = make_dataset(shard_dir)
+    nhwc = next(ShardIterator(ds, batch_size=4, layout="NHWC"))["images"]
+    nchw = next(ShardIterator(ds, batch_size=4, layout="NCHW"))["images"]
+    assert nhwc.shape == (4, 4, 4, 3)
+    assert nchw.shape == (4, 3, 4, 4)
+    np.testing.assert_array_equal(nhwc, nchw.transpose(0, 2, 3, 1))
+
+
+def test_iterator_resume_from_cursor(shard_dir):
+    """Restoring the cursor resumes the exact batch sequence
+    (overwrite_trainer_hyperparams semantics, resnet.cu:2796-2813)."""
+    ds = make_dataset(shard_dir)
+    it = ShardIterator(ds, batch_size=4)
+    next(it), next(it), next(it)
+    saved = ShardCursor(it.cursor.shard, it.cursor.batch_in_shard, it.cursor.epoch)
+    expected = next(it)["labels"].tolist()
+
+    it2 = ShardIterator(make_dataset(shard_dir), batch_size=4, cursor=saved)
+    assert next(it2)["labels"].tolist() == expected
+
+
+def test_synthetic_dataset():
+    ds = SyntheticDataset(4, image_dim=8, num_classes=10, layout="NHWC")
+    b = next(ds)
+    assert b["images"].shape == (4, 8, 8, 3)
+    assert b["images"].dtype == np.float32
+    assert b["labels"].shape == (4,)
+    assert b["labels"].min() >= 0 and b["labels"].max() < 10
+
+
+def test_prefetcher(shard_dir):
+    ds = make_dataset(shard_dir)
+    it = ShardIterator(ds, batch_size=4)
+    pre = DevicePrefetcher(iter([next(it) for _ in range(3)]), depth=2)
+    batches = list(pre)
+    assert len(batches) == 3
+    assert batches[0]["labels"].tolist() == [0, 1, 2, 3]
+
+
+def test_class_metadata(tmp_path):
+    d = tmp_path
+    (d / "id_to_label_mapping.txt").write_text("cat\ndog\n")
+    (d / "id_to_synset_mapping.txt").write_text("n123\nn456\n")
+    (d / "id_to_img_count_mapping.txt").write_text("100\n200\n")
+    meta = load_class_metadata(str(d))
+    assert meta.num_classes == 2
+    assert meta.total_images == 300
+    assert meta.labels == ["cat", "dog"]

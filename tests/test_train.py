@@ -1,0 +1,219 @@
+"""Trainer-engine tests: loss decreases on a tiny model, DP (pjit-auto and
+shard_map) matches single-device numerics, checkpoint round-trips."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from resnet_tpu.config import (
+    DataConfig,
+    ExecutionConfig,
+    OptimizerConfig,
+    TrainConfig,
+    tiny_model_config,
+)
+from resnet_tpu.data import ShardCursor, SyntheticDataset
+from resnet_tpu.parallel import make_mesh, make_shard_map_train_step
+from resnet_tpu.train import Trainer, init_train_state, make_train_step
+from resnet_tpu.train.checkpoint import (
+    restore_checkpoint,
+    restore_npz,
+    save_checkpoint,
+    save_npz,
+)
+
+
+def tiny_cfg(**kw):
+    defaults = dict(
+        model=tiny_model_config(),
+        execution=ExecutionConfig(),
+        optimizer=OptimizerConfig(learning_rate=1e-3),
+        data=DataConfig(batch_size=8, synthetic=True),
+    )
+    defaults.update(kw)
+    return TrainConfig(**defaults)
+
+
+def make_batch(rng, cfg, n=None):
+    n = n or cfg.data.batch_size
+    d = cfg.model.input_dim
+    return {
+        "images": jnp.asarray(rng.normal(0, 50, (n, d, d, 3)).astype(np.float32)),
+        "labels": jnp.asarray(rng.integers(0, cfg.model.num_classes, (n,)).astype(np.int32)),
+    }
+
+
+def test_train_step_reduces_loss(rng):
+    cfg = tiny_cfg()
+    state = init_train_state(cfg)
+    step = make_train_step(cfg, donate=False)
+    batch = make_batch(rng, cfg)
+    losses = []
+    for _ in range(30):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0] * 0.7, losses[::10]
+    assert int(state.step) == 30
+    assert np.all(np.isfinite(losses))
+
+
+def test_train_step_metrics_semantics(rng):
+    """Reported loss is batch-mean of -log p; loss_sum is the summed CE the
+    gradient is actually taken of (resnet.cu:1806-1811, 3360-3380)."""
+    cfg = tiny_cfg()
+    state = init_train_state(cfg)
+    step = make_train_step(cfg, donate=False)
+    batch = make_batch(rng, cfg)
+    _, metrics = step(state, batch)
+    n = cfg.data.batch_size
+    assert float(metrics["loss_sum"]) == pytest.approx(float(metrics["loss"]) * n, rel=1e-5)
+    assert 0.0 <= float(metrics["accuracy"]) <= 1.0
+    # fresh random model on 8 classes: loss near log(8)
+    assert float(metrics["loss"]) == pytest.approx(np.log(8), abs=0.5)
+
+
+def test_data_parallel_matches_single_device(rng):
+    """The pjit-auto DP step over 8 virtual devices must produce the same
+    updated params as the single-device step on the same global batch.
+
+    SGD is used for the param comparison: its update is linear in the
+    gradient, so cross-device reduction-order epsilon stays epsilon (Adam's
+    first step is ~ sign(g) * lr, which amplifies any near-zero-gradient
+    reduction difference to 2*lr)."""
+    cfg = tiny_cfg(optimizer=OptimizerConfig(name="sgd", learning_rate=1e-3))
+    batch = make_batch(rng, cfg, n=16)
+
+    state1 = init_train_state(cfg)
+    s1, m1 = make_train_step(cfg, donate=False)(state1, batch)
+
+    mesh = make_mesh(8)
+    state8 = init_train_state(cfg)
+    s8, m8 = make_train_step(cfg, mesh, donate=False)(state8, batch)
+
+    assert float(m1["loss"]) == pytest.approx(float(m8["loss"]), rel=1e-5)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s8.params)):
+        # atol covers fp32 reduction-order noise in the 8-way gradient sum
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5)
+
+
+def test_shard_map_matches_auto(rng):
+    """Explicit-psum shard_map DP equals the auto-partitioned path.
+
+    BN is per-device in shard_map (local batch stats) vs global in auto, so
+    run with a batch where each shard is the full distribution — per-device
+    vs global stats differ; we only check loss is finite and params update,
+    plus exact agreement of the optimizer/step plumbing on a 1-device mesh.
+    """
+    cfg = tiny_cfg()
+    batch = make_batch(rng, cfg, n=16)
+
+    mesh1 = make_mesh(1)
+    sa = init_train_state(cfg)
+    sb = init_train_state(cfg)
+    s_auto, m_auto = make_train_step(cfg, mesh1, donate=False)(sa, batch)
+    s_sm, m_sm = make_shard_map_train_step(cfg, mesh1, donate=False)(sb, batch)
+    assert float(m_auto["loss"]) == pytest.approx(float(m_sm["loss"]), rel=1e-5)
+    for a, b in zip(jax.tree.leaves(s_auto.params), jax.tree.leaves(s_sm.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
+
+    # 8-device shard_map: runs, loss finite, matches auto loss closely
+    # (local-BN vs global-BN divergence only)
+    mesh8 = make_mesh(8)
+    sc = init_train_state(cfg)
+    s8, m8 = make_shard_map_train_step(cfg, mesh8, donate=False)(sc, batch)
+    assert np.isfinite(float(m8["loss"]))
+    assert int(s8.step) == 1
+
+
+def test_checkpoint_roundtrip(tmp_path, rng):
+    cfg = tiny_cfg()
+    state = init_train_state(cfg)
+    step = make_train_step(cfg, donate=False)
+    batch = make_batch(rng, cfg)
+    for _ in range(3):
+        state, _ = step(state, batch)
+
+    cursor = ShardCursor(shard=2, batch_in_shard=17, epoch=1)
+    save_checkpoint(str(tmp_path), 3000, state, cursor, metadata={"note": "test"})
+
+    template = init_train_state(cfg)
+    restored, rcursor = restore_checkpoint(str(tmp_path), 3000, template)
+    assert (rcursor.shard, rcursor.batch_in_shard, rcursor.epoch) == (2, 17, 1)
+    assert int(restored.step) == int(state.step)
+    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(
+        jax.tree.leaves(state.opt_state.means), jax.tree.leaves(restored.opt_state.means)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert float(restored.opt_state.mean_decay_prod) == pytest.approx(
+        float(state.opt_state.mean_decay_prod)
+    )
+
+    # resumed training continues identically
+    s_cont, m_cont = step(state, batch)
+    r_cont, rm_cont = step(restored, batch)
+    assert float(m_cont["loss"]) == pytest.approx(float(rm_cont["loss"]), rel=1e-6)
+
+    # registry file is self-describing
+    reg = (tmp_path / "00003000" / "registry.txt").read_text().splitlines()
+    assert len(reg) == len(jax.tree.leaves(state.params))
+    assert "init_conv" in reg[0] or any("init_conv" in l for l in reg)
+
+
+def test_npz_checkpoint_roundtrip(tmp_path, rng):
+    cfg = tiny_cfg()
+    state = init_train_state(cfg)
+    step = make_train_step(cfg, donate=False)
+    batch = make_batch(rng, cfg)
+    state, _ = step(state, batch)
+    p = str(tmp_path / "ckpt.npz")
+    save_npz(p, state, ShardCursor(1, 2, 3))
+    restored, cur = restore_npz(p, init_train_state(cfg))
+    assert (cur.shard, cur.batch_in_shard, cur.epoch) == (1, 2, 3)
+    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_trainer_end_to_end(tmp_path):
+    cfg = tiny_cfg(
+        checkpoint_dir=str(tmp_path / "dumps"),
+        checkpoint_every=4,
+        log_every=0,
+    )
+    trainer = Trainer(cfg, use_mesh=False)
+    last = trainer.run(8)
+    assert np.isfinite(last["loss"])
+    trainer.finalize()
+    # periodic dumps at steps 0 and 4 + final sentinel
+    assert os.path.isdir(tmp_path / "dumps" / "00000000")
+    assert os.path.isdir(tmp_path / "dumps" / "00000004")
+    assert os.path.isdir(tmp_path / "dumps" / "77777777")
+    # avg_loss_log.txt has one line per step (resnet.cu:3386-3389)
+    lines = (tmp_path / "dumps" / "avg_loss_log.txt").read_text().splitlines()
+    assert len(lines) == 8
+
+
+def test_trainer_mesh_end_to_end(tmp_path):
+    cfg = tiny_cfg(checkpoint_dir="", log_every=0)
+    trainer = Trainer(cfg, use_mesh=True)
+    last = trainer.run(4)
+    assert np.isfinite(last["loss"])
+
+
+def test_remat_matches_no_remat(rng):
+    """jax.checkpoint memory policy must not change numerics
+    (resnet_clean.cu recompute strategy, SURVEY.md appendix)."""
+    cfg_cache = tiny_cfg(execution=ExecutionConfig(remat="none"))
+    cfg_remat = tiny_cfg(execution=ExecutionConfig(remat="block"))
+    batch = make_batch(rng, cfg_cache)
+    s1 = init_train_state(cfg_cache)
+    s2 = init_train_state(cfg_remat)
+    s1n, m1 = make_train_step(cfg_cache, donate=False)(s1, batch)
+    s2n, m2 = make_train_step(cfg_remat, donate=False)(s2, batch)
+    assert float(m1["loss"]) == pytest.approx(float(m2["loss"]), rel=1e-6)
+    for a, b in zip(jax.tree.leaves(s1n.params), jax.tree.leaves(s2n.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
