@@ -1,0 +1,123 @@
+"""Command-line trainer.
+
+The reference has no CLI — all configuration is compile-time constants in
+main() (resnet.cu:3245-3296) and the six binaries ARE the config system
+(SURVEY.md section 5). Here every axis is a flag.
+
+Usage:
+  python -m resnet_tpu.train.cli --synthetic --steps 100
+  python -m resnet_tpu.train.cli --shard-dir /data/shards --epochs 40 \
+      --batch-size 256 --dtype bfloat16 --optimizer sgd --schedule step
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from ..config import (
+    DataConfig,
+    ExecutionConfig,
+    ModelConfig,
+    OptimizerConfig,
+    ParallelConfig,
+    TrainConfig,
+    model_config,
+    tiny_model_config,
+)
+
+
+def build_config(argv=None) -> tuple:
+    ap = argparse.ArgumentParser(description="resnet_tpu trainer")
+    ap.add_argument("--model", default="resnet50",
+                    choices=["resnet18", "resnet34", "resnet50", "resnet101",
+                             "resnet152", "tiny"])
+    ap.add_argument("--batch-size", type=int, default=32)  # resnet.cu:3279
+    ap.add_argument("--epochs", type=int, default=40)  # resnet.cu:3291
+    ap.add_argument("--steps", type=int, default=0,
+                    help="train this many steps instead of full epochs")
+    ap.add_argument("--shard-dir", default="")
+    ap.add_argument("--synthetic", action="store_true")
+    ap.add_argument("--shard-layout", default="NCHW", choices=["NHWC", "NCHW"])
+    ap.add_argument("--layout", default="NHWC", choices=["NHWC", "NCHW"])
+    ap.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    ap.add_argument("--kernels", default="xla", choices=["xla", "pallas"])
+    ap.add_argument("--remat", default="none", choices=["none", "block"])
+    ap.add_argument("--optimizer", default="adam", choices=["adam", "sgd"])
+    ap.add_argument("--lr", type=float, default=1e-4)  # resnet.cu:3286
+    ap.add_argument("--weight-decay", type=float, default=0.0)
+    ap.add_argument("--schedule", default="constant",
+                    choices=["constant", "cosine", "step"])
+    ap.add_argument("--warmup-steps", type=int, default=0)
+    ap.add_argument("--checkpoint-dir", default="training_dumps/run")
+    ap.add_argument("--checkpoint-every", type=int, default=1000)  # resnet.cu:2947
+    ap.add_argument("--resume-from", type=int, default=-1)  # LOAD_FROM_DUMP_ID
+    ap.add_argument("--log-every", type=int, default=1)
+    ap.add_argument("--check-errors", action="store_true")
+    ap.add_argument("--seed", type=int, default=1234)  # resnet.cu:3266
+    ap.add_argument("--num-devices", type=int, default=0)
+    ap.add_argument("--parallel-mode", default="auto", choices=["auto", "shard_map"])
+    ap.add_argument("--no-mesh", action="store_true",
+                    help="force single-device even with multiple chips")
+    args = ap.parse_args(argv)
+
+    if args.model == "tiny":
+        mcfg = tiny_model_config()
+    else:
+        mcfg = model_config(args.model)
+
+    total_steps = args.steps
+    if not total_steps and args.shard_dir:
+        dc = DataConfig()
+        total_steps = args.epochs * (dc.shard_images * dc.num_shards // args.batch_size)
+
+    cfg = TrainConfig(
+        model=mcfg,
+        execution=ExecutionConfig(
+            kernels=args.kernels,
+            layout=args.layout,
+            compute_dtype=args.dtype,
+            matmul_precision="default" if args.dtype == "bfloat16" else "highest",
+            remat=args.remat,
+        ),
+        optimizer=OptimizerConfig(
+            name=args.optimizer,
+            learning_rate=args.lr,
+            weight_decay=args.weight_decay,
+            schedule=args.schedule,
+            warmup_steps=args.warmup_steps,
+            total_steps=total_steps,
+        ),
+        data=DataConfig(
+            shard_dir=args.shard_dir,
+            batch_size=args.batch_size,
+            layout=args.shard_layout,
+            synthetic=args.synthetic or not args.shard_dir,
+        ),
+        parallel=ParallelConfig(
+            num_devices=args.num_devices, mode=args.parallel_mode
+        ),
+        seed=args.seed,
+        epochs=args.epochs,
+        checkpoint_every=args.checkpoint_every,
+        checkpoint_dir=args.checkpoint_dir,
+        log_every=args.log_every,
+        resume_from=args.resume_from,
+        check_errors=args.check_errors,
+    )
+    return cfg, args
+
+
+def main(argv=None):
+    cfg, args = build_config(argv)
+    from .trainer import Trainer
+
+    trainer = Trainer(cfg, use_mesh=False if args.no_mesh else None)
+    if args.steps:
+        trainer.run(args.steps)
+        trainer.finalize()
+    else:
+        trainer.run_epochs(cfg.epochs)
+
+
+if __name__ == "__main__":
+    main()
