@@ -133,6 +133,16 @@ class ExecutionConfig:
     stable_softmax: bool = True
     # MXU precision for fp32 convs/matmuls ('default'|'high'|'highest').
     matmul_precision: str = "highest"
+    # Run Pallas kernels in interpreter mode (CPU testing); None = auto
+    # (interpret unless running on real TPU).
+    pallas_interpret: Optional[bool] = None
+
+    def resolve_interpret(self) -> bool:
+        if self.pallas_interpret is not None:
+            return self.pallas_interpret
+        import jax
+
+        return jax.default_backend() != "tpu"
 
     @property
     def cdtype(self):

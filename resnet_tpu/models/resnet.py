@@ -28,21 +28,24 @@ import jax
 import jax.numpy as jnp
 
 from ..config import ExecutionConfig, ModelConfig
-from ..ops import batch_norm, conv2d, global_avg_pool, linear, max_pool, relu, softmax
+from ..ops import conv2d, global_avg_pool, max_pool, softmax
+from ..ops.dispatch import bn_act, fc, residual_join
 
 
-def _bn_apply(x, bn_params, *, eps, layout, state=None, train=True):
-    """BN in train (batch stats) or eval (running stats) mode.
-
-    Returns (y, (mean, var)) — stats are the batch stats in train mode.
+def _bn_apply(x, bn_params, *, eps, layout, state=None, train=True,
+              relu_fused=False, engine="xla", interpret=False):
+    """BN in train (batch stats) or eval (running stats) mode, with the
+    following ReLU fused in when relu_fused=True (doBatchNormAndActivate,
+    resnet.cu:289). Returns (y, (mean, var)).
     """
     mean = var = None
     if not train:
         if state is None:
             raise ValueError("eval-mode BN requires running statistics")
         mean, var = state["mean"], state["var"]
-    return batch_norm(
+    return bn_act(
         x, bn_params["gamma"], bn_params["beta"], eps=eps, layout=layout,
+        relu=relu_fused, engine=engine, interpret=interpret,
         mean=mean, var=var,
     )
 
@@ -53,6 +56,8 @@ def _bottleneck_block(
     layout = ecfg.layout
     eps = mcfg.bn_eps
     prec = ecfg.matmul_precision
+    engine = ecfg.kernels
+    interp = ecfg.resolve_interpret() if engine == "pallas" else False
     stats: Dict[str, Any] = {}
 
     out = conv2d(x, block_params["reduce"]["w"], stride=1, layout=layout, precision=prec)
@@ -61,8 +66,8 @@ def _bottleneck_block(
     out, stats["bn_reduce"] = _bn_apply(
         out, block_params["bn_reduce"], eps=eps, layout=layout,
         state=None if state is None else state["bn_reduce"], train=train,
+        relu_fused=True, engine=engine, interpret=interp,
     )
-    out = relu(out)
 
     out = conv2d(out, block_params["spatial"]["w"], stride=stride, layout=layout, precision=prec)
     if tape is not None:
@@ -70,8 +75,8 @@ def _bottleneck_block(
     out, stats["bn_spatial"] = _bn_apply(
         out, block_params["bn_spatial"], eps=eps, layout=layout,
         state=None if state is None else state["bn_spatial"], train=train,
+        relu_fused=True, engine=engine, interpret=interp,
     )
-    out = relu(out)
 
     out = conv2d(out, block_params["expand"]["w"], stride=1, layout=layout, precision=prec)
     if tape is not None:
@@ -79,6 +84,7 @@ def _bottleneck_block(
     out, stats["bn_expand"] = _bn_apply(
         out, block_params["bn_expand"], eps=eps, layout=layout,
         state=None if state is None else state["bn_expand"], train=train,
+        engine=engine, interpret=interp,
     )
 
     if "proj" in block_params:
@@ -88,13 +94,14 @@ def _bottleneck_block(
         residual, stats["bn_proj"] = _bn_apply(
             residual, block_params["bn_proj"], eps=eps, layout=layout,
             state=None if state is None else state["bn_proj"], train=train,
+            engine=engine, interpret=interp,
         )
         if tape is not None:
             tape["transformed_residual"] = residual
     else:
         residual = x
 
-    out = relu(out + residual)
+    out = residual_join(out, residual, engine=engine, interpret=interp)
     if tape is not None:
         tape["output_activated"] = out
     return out, stats
@@ -106,18 +113,21 @@ def _basic_block(
     layout = ecfg.layout
     eps = mcfg.bn_eps
     prec = ecfg.matmul_precision
+    engine = ecfg.kernels
+    interp = ecfg.resolve_interpret() if engine == "pallas" else False
     stats: Dict[str, Any] = {}
 
     out = conv2d(x, block_params["conv1"]["w"], stride=stride, layout=layout, precision=prec)
     out, stats["bn1"] = _bn_apply(
         out, block_params["bn1"], eps=eps, layout=layout,
         state=None if state is None else state["bn1"], train=train,
+        relu_fused=True, engine=engine, interpret=interp,
     )
-    out = relu(out)
     out = conv2d(out, block_params["conv2"]["w"], stride=1, layout=layout, precision=prec)
     out, stats["bn2"] = _bn_apply(
         out, block_params["bn2"], eps=eps, layout=layout,
         state=None if state is None else state["bn2"], train=train,
+        engine=engine, interpret=interp,
     )
 
     if "proj" in block_params:
@@ -127,11 +137,12 @@ def _basic_block(
         residual, stats["bn_proj"] = _bn_apply(
             residual, block_params["bn_proj"], eps=eps, layout=layout,
             state=None if state is None else state["bn_proj"], train=train,
+            engine=engine, interpret=interp,
         )
     else:
         residual = x
 
-    out = relu(out + residual)
+    out = residual_join(out, residual, engine=engine, interpret=interp)
     return out, stats
 
 
@@ -163,14 +174,16 @@ def forward(
     tape: Optional[Dict[str, Any]] = {} if capture else None
     stats: Dict[str, Any] = {}
 
+    engine = ecfg.kernels
+    interp = ecfg.resolve_interpret() if engine == "pallas" else False
     out = conv2d(x, params["init_conv"]["w"], stride=mcfg.init_stride, layout=layout, precision=prec)
     if tape is not None:
         tape["init_conv_applied"] = out
     out, stats["init_bn"] = _bn_apply(
         out, params["init_bn"], eps=eps, layout=layout,
         state=None if bn_state is None else bn_state["init_bn"], train=train,
+        relu_fused=True, engine=engine, interpret=interp,
     )
-    out = relu(out)
     if tape is not None:
         tape["init_conv_activated"] = out
     out = max_pool(out, kernel=mcfg.maxpool_kernel, stride=mcfg.maxpool_stride, layout=layout)
@@ -201,8 +214,9 @@ def forward(
     pooled = global_avg_pool(out, layout=layout)
     if tape is not None:
         tape["final_avg_pool"] = pooled
-    logits = linear(
-        pooled, params["fc"]["w"], params["fc"].get("b"), precision=prec
+    logits = fc(
+        pooled, params["fc"]["w"], params["fc"].get("b"),
+        engine=engine, precision=prec, interpret=interp,
     ).astype(jnp.float32)
     if tape is not None:
         tape["linear_output"] = logits

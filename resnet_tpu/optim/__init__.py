@@ -1,4 +1,10 @@
-from .adam import GuardedAdamState, adam_init, adam_update, guarded_adam
+from .adam import (
+    GuardedAdamState,
+    adam_init,
+    adam_update,
+    adam_update_fused,
+    guarded_adam,
+)
 from .schedules import make_schedule
 from .sgd import sgd_init, sgd_update
 
@@ -6,6 +12,7 @@ __all__ = [
     "GuardedAdamState",
     "adam_init",
     "adam_update",
+    "adam_update_fused",
     "guarded_adam",
     "make_schedule",
     "sgd_init",

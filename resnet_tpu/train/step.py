@@ -65,7 +65,22 @@ def _apply_optimizer(grads, state: TrainState, cfg: TrainConfig):
     ocfg = cfg.optimizer
     schedule = make_schedule(ocfg)
     lr = schedule(state.opt_state.step)
-    if ocfg.name == "adam":
+    if ocfg.name == "adam" and ocfg.fused:
+        from ..optim.adam import adam_update_fused
+
+        new_params, new_opt = adam_update_fused(
+            grads,
+            state.opt_state,
+            state.params,
+            learning_rate=lr,
+            weight_decay=ocfg.weight_decay,
+            beta1=ocfg.beta1,
+            beta2=ocfg.beta2,
+            eps=ocfg.eps,
+            nonfinite_guard=ocfg.nonfinite_guard,
+            interpret=cfg.execution.resolve_interpret(),
+        )
+    elif ocfg.name == "adam":
         new_params, new_opt = adam_update(
             grads,
             state.opt_state,
