@@ -6,6 +6,6 @@ jax.sharding over a device mesh with ICI collectives (new capability; the
 reference is single-GPU). See SURVEY.md for the full mapping.
 """
 
-from . import config, data, models, ops, optim, parallel, train, utils
+from . import analysis, config, data, models, ops, optim, parallel, train, utils
 
 __version__ = "0.1.0"
