@@ -98,6 +98,18 @@ class Trainer:
             channels=self.cfg.model.in_channels,
             disk_layout=dcfg.layout,
         )
+        # prefer the native C++ read-ahead loader (csrc/shard_loader.cc);
+        # fall back to the Python mmap iterator
+        from ..data.native import NativeShardIterator, native_available
+
+        if native_available():
+            return NativeShardIterator(
+                dataset,
+                dcfg.batch_size,
+                layout=self.cfg.execution.layout,
+                cursor=self.cursor,
+                prefetch_depth=max(2, dcfg.prefetch),
+            )
         return ShardIterator(
             dataset,
             dcfg.batch_size,

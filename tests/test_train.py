@@ -217,3 +217,39 @@ def test_remat_matches_no_remat(rng):
     assert float(m1["loss"]) == pytest.approx(float(m2["loss"]), rel=1e-6)
     for a, b in zip(jax.tree.leaves(s1n.params), jax.tree.leaves(s2n.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
+
+
+def test_trainer_with_real_shards(tmp_path, rng):
+    """Trainer end-to-end from on-disk shards (native loader when built),
+    including mid-training checkpoint + resume continuing the batch stream."""
+    import numpy as np
+    from resnet_tpu.data import write_shard
+    from resnet_tpu.config import ModelConfig
+
+    shard_dir = str(tmp_path / "shards")
+    mcfg = tiny_model_config()
+    for s in range(2):
+        imgs = rng.normal(0, 50, (16, 3, mcfg.input_dim, mcfg.input_dim)).astype(np.float32)
+        labels = rng.integers(0, mcfg.num_classes, (16,)).astype(np.int32)
+        write_shard(shard_dir, s, imgs, labels)
+
+    cfg = tiny_cfg(
+        data=DataConfig(
+            shard_dir=shard_dir, batch_size=8, shard_images=16, num_shards=2,
+            layout="NCHW",
+        ),
+        checkpoint_dir=str(tmp_path / "dumps"),
+        checkpoint_every=2,
+        log_every=0,
+    )
+    trainer = Trainer(cfg, use_mesh=False)
+    last = trainer.run(3)
+    assert np.isfinite(last["loss"])
+    trainer.finalize()
+
+    import dataclasses
+    cfg2 = dataclasses.replace(cfg, resume_from=2)
+    trainer2 = Trainer(cfg2, use_mesh=False)
+    assert int(jax.device_get(trainer2.state.step)) == 2
+    last2 = trainer2.run(2)
+    assert np.isfinite(last2["loss"])
