@@ -226,3 +226,48 @@ class TestPallasEngineEndToEnd:
         for a, b in zip(jax.tree.leaves(sr.params), jax.tree.leaves(sf.params)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
         assert float(sf.opt_state.mean_decay_prod) == pytest.approx(0.9)
+
+
+class TestPallasConv:
+    """Implicit-GEMM Pallas conv vs lax.conv with reference geometry
+    (the analogue of testConvolution, resnet.cu:3109-3218)."""
+
+    CASES = [
+        # (h, cin, cout, k, stride)  — the shapes ResNet actually uses
+        (16, 3, 8, 7, 2),    # stem (scaled down)
+        (8, 8, 16, 1, 1),    # 1x1 reduce/expand
+        (8, 16, 16, 3, 1),   # 3x3 spatial
+        (8, 16, 16, 3, 2),   # 3x3 stride-2 spatial
+        (8, 8, 32, 3, 2),    # 3x3/s2 projection
+    ]
+
+    @pytest.mark.parametrize("h,cin,cout,k,stride", CASES)
+    def test_forward(self, rng, h, cin, cout, k, stride):
+        from resnet_tpu.kernels.conv import conv2d_pallas
+        from resnet_tpu.ops import conv2d
+
+        x = jnp.asarray(rng.normal(size=(2, h, h, cin)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(k, k, cin, cout)).astype(np.float32) * 0.1)
+        got = conv2d_pallas(x, w, stride, None, True)
+        want = conv2d(x, w, stride=stride, layout="NHWC")
+        assert got.shape == want.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
+
+    @pytest.mark.parametrize("h,cin,cout,k,stride", CASES)
+    def test_backward(self, rng, h, cin, cout, k, stride):
+        from resnet_tpu.kernels.conv import conv2d_pallas
+        from resnet_tpu.ops import conv2d
+
+        x = jnp.asarray(rng.normal(size=(2, h, h, cin)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(k, k, cin, cout)).astype(np.float32) * 0.1)
+
+        def f_pallas(x, w):
+            return jnp.sum(conv2d_pallas(x, w, stride, None, True) ** 2)
+
+        def f_ref(x, w):
+            return jnp.sum(conv2d(x, w, stride=stride, layout="NHWC") ** 2)
+
+        gx_p, gw_p = jax.grad(f_pallas, argnums=(0, 1))(x, w)
+        gx_r, gw_r = jax.grad(f_ref, argnums=(0, 1))(x, w)
+        np.testing.assert_allclose(np.asarray(gw_p), np.asarray(gw_r), rtol=1e-3, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(gx_p), np.asarray(gx_r), rtol=1e-3, atol=1e-3)
