@@ -120,7 +120,12 @@ class ModelConfig:
 class ExecutionConfig:
     """How the model executes on the chip — the reference's 'variant' axis."""
 
-    kernels: str = "xla"  # 'xla' | 'pallas'
+    kernels: str = "xla"  # 'xla' | 'pallas' (BN/residual/FC/optimizer)
+    # Convolution engine, independent axis: XLA's conv is heavily autotuned
+    # (the cudnnFind* role); the Pallas implicit-GEMM conv is selectable
+    # for experimentation/parity (~ the reference keeping both hand-rolled
+    # and cuDNN conv paths alive across variants).
+    conv_kernels: str = "xla"  # 'xla' | 'pallas'
     layout: str = "NHWC"  # 'NHWC' | 'NCHW'
     compute_dtype: str = "float32"  # 'float32' | 'bfloat16'
     param_dtype: str = "float32"

@@ -28,8 +28,17 @@ import jax
 import jax.numpy as jnp
 
 from ..config import ExecutionConfig, ModelConfig
-from ..ops import conv2d, global_avg_pool, max_pool, softmax
-from ..ops.dispatch import bn_act, fc, residual_join
+from ..ops import global_avg_pool, max_pool, softmax
+from ..ops.dispatch import bn_act, conv as _dispatch_conv, fc, residual_join
+
+
+def _conv(x, w, *, stride, ecfg):
+    engine = ecfg.conv_kernels
+    return _dispatch_conv(
+        x, w, stride=stride, layout=ecfg.layout, engine=engine,
+        precision=ecfg.matmul_precision,
+        interpret=ecfg.resolve_interpret() if engine == "pallas" else False,
+    )
 
 
 def _bn_apply(x, bn_params, *, eps, layout, state=None, train=True,
@@ -60,7 +69,7 @@ def _bottleneck_block(
     interp = ecfg.resolve_interpret() if engine == "pallas" else False
     stats: Dict[str, Any] = {}
 
-    out = conv2d(x, block_params["reduce"]["w"], stride=1, layout=layout, precision=prec)
+    out = _conv(x, block_params["reduce"]["w"], stride=1, ecfg=ecfg)
     if tape is not None:
         tape["post_reduced"] = out
     out, stats["bn_reduce"] = _bn_apply(
@@ -69,7 +78,7 @@ def _bottleneck_block(
         relu_fused=True, engine=engine, interpret=interp,
     )
 
-    out = conv2d(out, block_params["spatial"]["w"], stride=stride, layout=layout, precision=prec)
+    out = _conv(out, block_params["spatial"]["w"], stride=stride, ecfg=ecfg)
     if tape is not None:
         tape["post_spatial"] = out
     out, stats["bn_spatial"] = _bn_apply(
@@ -78,7 +87,7 @@ def _bottleneck_block(
         relu_fused=True, engine=engine, interpret=interp,
     )
 
-    out = conv2d(out, block_params["expand"]["w"], stride=1, layout=layout, precision=prec)
+    out = _conv(out, block_params["expand"]["w"], stride=1, ecfg=ecfg)
     if tape is not None:
         tape["post_expanded"] = out
     out, stats["bn_expand"] = _bn_apply(
@@ -88,9 +97,7 @@ def _bottleneck_block(
     )
 
     if "proj" in block_params:
-        residual = conv2d(
-            x, block_params["proj"]["w"], stride=stride, layout=layout, precision=prec
-        )
+        residual = _conv(x, block_params["proj"]["w"], stride=stride, ecfg=ecfg)
         residual, stats["bn_proj"] = _bn_apply(
             residual, block_params["bn_proj"], eps=eps, layout=layout,
             state=None if state is None else state["bn_proj"], train=train,
@@ -117,13 +124,13 @@ def _basic_block(
     interp = ecfg.resolve_interpret() if engine == "pallas" else False
     stats: Dict[str, Any] = {}
 
-    out = conv2d(x, block_params["conv1"]["w"], stride=stride, layout=layout, precision=prec)
+    out = _conv(x, block_params["conv1"]["w"], stride=stride, ecfg=ecfg)
     out, stats["bn1"] = _bn_apply(
         out, block_params["bn1"], eps=eps, layout=layout,
         state=None if state is None else state["bn1"], train=train,
         relu_fused=True, engine=engine, interpret=interp,
     )
-    out = conv2d(out, block_params["conv2"]["w"], stride=1, layout=layout, precision=prec)
+    out = _conv(out, block_params["conv2"]["w"], stride=1, ecfg=ecfg)
     out, stats["bn2"] = _bn_apply(
         out, block_params["bn2"], eps=eps, layout=layout,
         state=None if state is None else state["bn2"], train=train,
@@ -131,9 +138,7 @@ def _basic_block(
     )
 
     if "proj" in block_params:
-        residual = conv2d(
-            x, block_params["proj"]["w"], stride=stride, layout=layout, precision=prec
-        )
+        residual = _conv(x, block_params["proj"]["w"], stride=stride, ecfg=ecfg)
         residual, stats["bn_proj"] = _bn_apply(
             residual, block_params["bn_proj"], eps=eps, layout=layout,
             state=None if state is None else state["bn_proj"], train=train,
@@ -176,7 +181,7 @@ def forward(
 
     engine = ecfg.kernels
     interp = ecfg.resolve_interpret() if engine == "pallas" else False
-    out = conv2d(x, params["init_conv"]["w"], stride=mcfg.init_stride, layout=layout, precision=prec)
+    out = _conv(x, params["init_conv"]["w"], stride=mcfg.init_stride, ecfg=ecfg)
     if tape is not None:
         tape["init_conv_applied"] = out
     out, stats["init_bn"] = _bn_apply(

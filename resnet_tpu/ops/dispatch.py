@@ -77,6 +77,24 @@ def residual_join(a: jax.Array, b: jax.Array, *, engine: str = "xla",
     return _relu_xla(a + b)
 
 
+def conv(x, w, *, stride: int = 1, layout: str = "NHWC",
+         engine: str = "xla", precision: str = "highest",
+         interpret: bool = False):
+    """Convolution with engine selection (XLA autotuned vs Pallas
+    implicit-GEMM). Pallas path is NHWC-only; NCHW adapts at the boundary."""
+    if engine == "pallas":
+        from ..kernels.conv import conv2d_pallas
+
+        if layout == "NCHW":
+            xh = jnp.moveaxis(x, 1, -1)
+            y = conv2d_pallas(xh, w.astype(x.dtype), stride, None, interpret)
+            return jnp.moveaxis(y, -1, 1)
+        return conv2d_pallas(x, w.astype(x.dtype), stride, None, interpret)
+    from .conv import conv2d
+
+    return conv2d(x, w, stride=stride, layout=layout, precision=precision)
+
+
 def fc(x, w, b=None, *, engine: str = "xla", precision: str = "highest",
        interpret: bool = False):
     """Final fully-connected layer (resnet.cu:1759)."""
