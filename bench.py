@@ -66,17 +66,24 @@ def main():
     )
     b = {"images": images, "labels": labels}
 
-    for _ in range(args.warmup):
-        state, metrics = step(state, b)
-    jax.block_until_ready(metrics["loss"])
+    def run_n(state, n):
+        """n chained steps, synced by fetching the final loss value (the
+        tunneled TPU backend's block_until_ready is unreliable; a concrete
+        D2H value fetch is the only trustworthy barrier)."""
+        t0 = time.perf_counter()
+        metrics = None
+        for _ in range(n):
+            state, metrics = step(state, b)
+        _ = float(jax.device_get(metrics["loss"]))
+        return time.perf_counter() - t0, state
 
-    t0 = time.perf_counter()
-    for _ in range(args.steps):
-        state, metrics = step(state, b)
-    jax.block_until_ready(metrics["loss"])
-    dt = time.perf_counter() - t0
-
-    img_per_sec = batch * args.steps / dt
+    _, state = run_n(state, args.warmup)  # compile + warm
+    n_small = max(2, args.steps // 4)
+    t_small, state = run_n(state, n_small)
+    t_big, state = run_n(state, args.steps)
+    # slope removes the constant device_get/dispatch overhead
+    dt_per_step = (t_big - t_small) / (args.steps - n_small)
+    img_per_sec = batch / dt_per_step
     n_chips = max(1, len(jax.devices()))
     per_chip = img_per_sec / n_chips
     print(

@@ -58,6 +58,11 @@ def build_config(argv=None) -> tuple:
     ap.add_argument("--parallel-mode", default="auto", choices=["auto", "shard_map"])
     ap.add_argument("--no-mesh", action="store_true",
                     help="force single-device even with multiple chips")
+    ap.add_argument("--evaluate", action="store_true",
+                    help="run evaluation over the shard dir instead of training"
+                         " (requires --resume-from for the checkpoint)")
+    ap.add_argument("--eval-batches", type=int, default=0,
+                    help="0 = one full pass over the shards")
     args = ap.parse_args(argv)
 
     if args.model == "tiny":
@@ -112,7 +117,17 @@ def main(argv=None):
     from .trainer import Trainer
 
     trainer = Trainer(cfg, use_mesh=False if args.no_mesh else None)
-    if args.steps:
+    if args.evaluate:
+        data = trainer._build_data()
+        n = args.eval_batches or getattr(
+            data, "batches_per_epoch", 10
+        )
+        metrics = trainer.evaluate(data, n)
+        print(
+            f"eval over {n} batches: loss={metrics['loss']:.5f} "
+            f"top1={metrics['accuracy']:.4f}"
+        )
+    elif args.steps:
         trainer.run(args.steps)
         trainer.finalize()
     else:

@@ -1,0 +1,52 @@
+"""CLI config-building and end-to-end smoke tests."""
+
+import numpy as np
+import pytest
+
+from resnet_tpu.train.cli import build_config, main
+
+
+def test_build_config_defaults():
+    cfg, args = build_config([])
+    assert cfg.model.name == "resnet50"
+    assert cfg.data.batch_size == 32  # resnet.cu:3279
+    assert cfg.optimizer.learning_rate == pytest.approx(1e-4)  # resnet.cu:3286
+    assert cfg.epochs == 40  # resnet.cu:3291
+    assert cfg.checkpoint_every == 1000  # resnet.cu:2947
+    assert cfg.seed == 1234  # resnet.cu:3266
+
+
+def test_build_config_fast_variant_axes():
+    cfg, _ = build_config([
+        "--dtype", "bfloat16", "--layout", "NCHW", "--remat", "block",
+        "--kernels", "pallas", "--optimizer", "sgd", "--schedule", "step",
+        "--steps", "100",
+    ])
+    assert cfg.execution.compute_dtype == "bfloat16"
+    assert cfg.execution.matmul_precision == "default"  # bf16 implies
+    assert cfg.execution.layout == "NCHW"
+    assert cfg.execution.remat == "block"
+    assert cfg.execution.kernels == "pallas"
+    assert cfg.optimizer.name == "sgd"
+    assert cfg.optimizer.total_steps == 100
+
+
+def test_cli_trains_and_evaluates(tmp_path, capsys):
+    ckpt = str(tmp_path / "dumps")
+    main([
+        "--model", "tiny", "--synthetic", "--steps", "3", "--batch-size", "8",
+        "--checkpoint-dir", ckpt, "--checkpoint-every", "2", "--log-every", "0",
+        "--no-mesh",
+    ])
+    import os
+
+    assert os.path.isdir(tmp_path / "dumps" / "00000002")
+    assert os.path.isdir(tmp_path / "dumps" / "77777777")
+
+    main([
+        "--model", "tiny", "--synthetic", "--eval-batches", "2", "--evaluate",
+        "--batch-size", "8", "--checkpoint-dir", ckpt, "--log-every", "0",
+        "--no-mesh",
+    ])
+    out = capsys.readouterr().out
+    assert "eval over 2 batches" in out
