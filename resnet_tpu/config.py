@@ -192,6 +192,12 @@ class DataConfig:
     num_shards: int = 40
     prefetch: int = 2  # device-side double buffering depth
     synthetic: bool = False  # generate random batches (bench/test mode)
+    # ImageFolder tree of raw JPEGs (online decode/augment pipeline);
+    # overrides shard_dir when set.
+    jpeg_dir: str = ""
+    # Train-time horizontal flip (new vs the reference's offline-only
+    # random crop; part of the standard 76%-top-1 recipe).
+    random_flip: bool = False
     # ImageNet per-channel means baked into the shard builder
     # (build_training_shards.c:115-131), RGB order after its BGR swap.
     channel_means: Tuple[float, float, float] = (123.68, 116.78, 103.94)

@@ -1,4 +1,5 @@
 from .metadata import ClassMetadata, load_class_metadata
+from .jpeg import JpegDataset
 from .prefetch import DevicePrefetcher, prefetch_to_device
 from .shards import ShardCursor, ShardDataset, ShardIterator, write_shard
 from .synthetic import SyntheticDataset
@@ -11,6 +12,7 @@ __all__ = [
     "ShardIterator",
     "write_shard",
     "SyntheticDataset",
+    "JpegDataset",
     "DevicePrefetcher",
     "prefetch_to_device",
 ]

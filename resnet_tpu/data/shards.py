@@ -91,12 +91,18 @@ class ShardIterator:
         layout: str = "NHWC",
         cursor: Optional[ShardCursor] = None,
         drop_remainder: bool = True,
+        random_flip: bool = False,
+        seed: int = 1234,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
         self.layout = layout
         self.cursor = cursor or ShardCursor()
         self.drop_remainder = drop_remainder
+        # train-time horizontal flip (new capability: the reference bakes a
+        # random crop offline and has no online augmentation)
+        self.random_flip = random_flip
+        self._rng = np.random.default_rng(seed)
         self._images: Optional[np.ndarray] = None
         self._labels: Optional[np.ndarray] = None
         self._open = -1
@@ -135,6 +141,12 @@ class ShardIterator:
         if self.layout != self.dataset.disk_layout:
             perm = (0, 2, 3, 1) if self.layout == "NHWC" else (0, 3, 1, 2)
             images = np.ascontiguousarray(images.transpose(perm))
+        if self.random_flip:
+            if not images.flags.writeable:  # still a read-only memmap view
+                images = images.copy()
+            w_axis = 2 if self.layout == "NHWC" else 3
+            mask = self._rng.random(len(images)) < 0.5
+            images[mask] = np.flip(images[mask], axis=w_axis)
         self.cursor.batch_in_shard += 1
         return {"images": images, "labels": labels}
 

@@ -82,6 +82,17 @@ class Trainer:
 
     def _build_data(self):
         dcfg = self.cfg.data
+        if dcfg.jpeg_dir:
+            from ..data import JpegDataset
+
+            return JpegDataset(
+                dcfg.jpeg_dir,
+                dcfg.batch_size,
+                out_dim=self.cfg.model.input_dim,
+                train=True,
+                layout=self.cfg.execution.layout,
+                seed=self.cfg.seed,
+            )
         if dcfg.synthetic or not dcfg.shard_dir:
             return SyntheticDataset(
                 dcfg.batch_size,
@@ -99,10 +110,11 @@ class Trainer:
             disk_layout=dcfg.layout,
         )
         # prefer the native C++ read-ahead loader (csrc/shard_loader.cc);
-        # fall back to the Python mmap iterator
+        # fall back to the Python mmap iterator (also used when train-time
+        # flip augmentation is on — the flip runs host-side in numpy)
         from ..data.native import NativeShardIterator, native_available
 
-        if native_available():
+        if native_available() and not dcfg.random_flip:
             return NativeShardIterator(
                 dataset,
                 dcfg.batch_size,
@@ -115,6 +127,8 @@ class Trainer:
             dcfg.batch_size,
             layout=self.cfg.execution.layout,
             cursor=self.cursor,
+            random_flip=dcfg.random_flip,
+            seed=self.cfg.seed,
         )
 
     def _device_iter(self):

@@ -103,3 +103,49 @@ def test_class_metadata(tmp_path):
     assert meta.num_classes == 2
     assert meta.total_images == 300
     assert meta.labels == ["cat", "dog"]
+
+
+def test_random_flip(shard_dir):
+    ds = make_dataset(shard_dir)
+    plain = next(ShardIterator(ds, batch_size=8, layout="NHWC"))["images"]
+    flipped = next(
+        ShardIterator(ds, batch_size=8, layout="NHWC", random_flip=True, seed=7)
+    )["images"]
+    # every image is either identical or exactly mirrored
+    n_flipped = 0
+    for i in range(8):
+        same = np.array_equal(flipped[i], plain[i])
+        mirror = np.array_equal(flipped[i], plain[i][:, ::-1])
+        assert same or mirror
+        n_flipped += int(mirror and not same)
+    assert 0 < n_flipped < 8  # ~Bernoulli(0.5) over 8 images
+
+
+def test_jpeg_pipeline(tmp_path, rng):
+    from PIL import Image
+
+    from resnet_tpu.data import JpegDataset
+    from resnet_tpu.data.jpeg import IMAGENET_MEANS, decode_and_augment
+
+    root = tmp_path / "imgs"
+    for cls in ("n01", "n02"):
+        (root / cls).mkdir(parents=True)
+        for i in range(3):
+            arr = rng.integers(0, 256, (40, 48, 3)).astype(np.uint8)
+            Image.fromarray(arr).save(root / cls / f"{i}.JPEG")
+
+    ds = JpegDataset(str(root), batch_size=4, out_dim=16, train=True, seed=3)
+    assert ds.classes == ["n01", "n02"]
+    b = next(ds)
+    assert b["images"].shape == (4, 16, 16, 3)
+    assert b["images"].dtype == np.float32
+    assert set(b["labels"].tolist()) <= {0, 1}
+    # mean-subtracted: values roughly centered
+    assert -200 < b["images"].mean() < 100
+
+    # eval path: deterministic center crop
+    ev = JpegDataset(str(root), batch_size=2, out_dim=16, train=False)
+    a1 = next(ev)["images"]
+    ev2 = JpegDataset(str(root), batch_size=2, out_dim=16, train=False)
+    a2 = next(ev2)["images"]
+    np.testing.assert_array_equal(a1, a2)
