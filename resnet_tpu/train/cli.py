@@ -36,11 +36,15 @@ def build_config(argv=None) -> tuple:
     ap.add_argument("--steps", type=int, default=0,
                     help="train this many steps instead of full epochs")
     ap.add_argument("--shard-dir", default="")
+    ap.add_argument("--jpeg-dir", default="",
+                    help="raw ImageFolder tree; online decode/augment path")
+    ap.add_argument("--random-flip", action="store_true")
     ap.add_argument("--synthetic", action="store_true")
     ap.add_argument("--shard-layout", default="NCHW", choices=["NHWC", "NCHW"])
     ap.add_argument("--layout", default="NHWC", choices=["NHWC", "NCHW"])
     ap.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
     ap.add_argument("--kernels", default="xla", choices=["xla", "pallas"])
+    ap.add_argument("--conv-kernels", default="xla", choices=["xla", "pallas"])
     ap.add_argument("--remat", default="none", choices=["none", "block"])
     ap.add_argument("--optimizer", default="adam", choices=["adam", "sgd"])
     ap.add_argument("--lr", type=float, default=1e-4)  # resnet.cu:3286
@@ -79,6 +83,7 @@ def build_config(argv=None) -> tuple:
         model=mcfg,
         execution=ExecutionConfig(
             kernels=args.kernels,
+            conv_kernels=args.conv_kernels,
             layout=args.layout,
             compute_dtype=args.dtype,
             matmul_precision="default" if args.dtype == "bfloat16" else "highest",
@@ -94,9 +99,11 @@ def build_config(argv=None) -> tuple:
         ),
         data=DataConfig(
             shard_dir=args.shard_dir,
+            jpeg_dir=args.jpeg_dir,
             batch_size=args.batch_size,
             layout=args.shard_layout,
-            synthetic=args.synthetic or not args.shard_dir,
+            random_flip=args.random_flip,
+            synthetic=args.synthetic or not (args.shard_dir or args.jpeg_dir),
         ),
         parallel=ParallelConfig(
             num_devices=args.num_devices, mode=args.parallel_mode
