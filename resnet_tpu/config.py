@@ -129,9 +129,13 @@ class ExecutionConfig:
     layout: str = "NHWC"  # 'NHWC' | 'NCHW'
     compute_dtype: str = "float32"  # 'float32' | 'bfloat16'
     param_dtype: str = "float32"
-    # Recompute policy (~ resnet_clean.cu / lowmem): 'none' caches everything
-    # like resnet.cu; 'block' wraps each residual block in jax.checkpoint.
-    remat: str = "none"  # 'none' | 'block'
+    # Recompute policy — the reference's per-variant memory-strategy axis
+    # (SURVEY.md appendix):
+    #   'none'  cache everything                 (~ resnet.cu, batch 32)
+    #   'block' recompute within residual blocks (~ resnet_clean.cu /
+    #           lowmem's rotating scratch, batch 224/192)
+    #   'stage' recompute whole stages — the most aggressive
+    remat: str = "none"  # 'none' | 'block' | 'stage'
     # Use the reference's numerically-naive softmax (resnet.cu:569-580, no
     # max subtraction) for forward-dump fidelity; training always uses a
     # stable log-softmax for the loss.

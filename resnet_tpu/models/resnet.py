@@ -195,25 +195,50 @@ def forward(
     if tape is not None:
         tape["init_convblock_input"] = out
 
-    block_stats = []
-    for i, block_params in enumerate(params["blocks"]):
-        stride = 2 if mcfg.is_reduction_block(i) else 1
-        block_tape: Optional[Dict[str, Any]] = {} if capture else None
+    remat_on = train and not capture
+    block_tapes: list = [({} if capture else None) for _ in range(mcfg.num_blocks)]
 
-        def run_block(bp, h, _stride=stride, _tape=block_tape, _state=(
-            None if bn_state is None else bn_state["blocks"][i]
-        )):
-            return block_fn(
-                bp, h, stride=_stride, mcfg=mcfg, ecfg=ecfg,
-                state=_state, train=train, tape=_tape,
-            )
+    def run_block_range(h, start, count):
+        """Run blocks [start, start+count); returns (h, their stats).
 
-        if ecfg.remat == "block" and train and not capture:
-            run_block = jax.checkpoint(run_block)
-        out, bstats = run_block(block_params, out)
-        block_stats.append(bstats)
-        if tape is not None:
-            tape[f"block_{i:02d}"] = block_tape
+        Stats are RETURNED (not accumulated by side effect) so the range
+        can be wrapped in jax.checkpoint without leaking tracers."""
+        stats_acc = []
+        for i in range(start, start + count):
+            stride = 2 if mcfg.is_reduction_block(i) else 1
+
+            def run_block(bp, hh, _stride=stride, _tape=block_tapes[i], _state=(
+                None if bn_state is None else bn_state["blocks"][i]
+            )):
+                return block_fn(
+                    bp, hh, stride=_stride, mcfg=mcfg, ecfg=ecfg,
+                    state=_state, train=train, tape=_tape,
+                )
+
+            if ecfg.remat == "block" and remat_on:
+                run_block = jax.checkpoint(run_block)
+            h, bstats = run_block(params["blocks"][i], h)
+            stats_acc.append(bstats)
+        return h, stats_acc
+
+    block_stats: list = []
+    if ecfg.remat == "stage" and remat_on:
+        # checkpoint whole stages (most aggressive recompute — beyond the
+        # reference's lowmem rotating-scratch strategy)
+        start = 0
+        for n_in_stage in mcfg.block_sizes:
+            def run_stage(h, _s=start, _n=n_in_stage):
+                return run_block_range(h, _s, _n)
+
+            out, stage_stats = jax.checkpoint(run_stage)(out)
+            block_stats.extend(stage_stats)
+            start += n_in_stage
+    else:
+        out, block_stats = run_block_range(out, 0, mcfg.num_blocks)
+
+    if tape is not None:
+        for i, bt in enumerate(block_tapes):
+            tape[f"block_{i:02d}"] = bt
     stats["blocks"] = block_stats
 
     pooled = global_avg_pool(out, layout=layout)

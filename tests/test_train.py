@@ -253,3 +253,15 @@ def test_trainer_with_real_shards(tmp_path, rng):
     assert int(jax.device_get(trainer2.state.step)) == 2
     last2 = trainer2.run(2)
     assert np.isfinite(last2["loss"])
+
+
+def test_stage_remat_matches(rng):
+    """'stage' remat (whole-stage recompute) must not change numerics."""
+    cfg_none = tiny_cfg(execution=ExecutionConfig(remat="none"))
+    cfg_stage = tiny_cfg(execution=ExecutionConfig(remat="stage"))
+    batch = make_batch(rng, cfg_none)
+    s1, m1 = make_train_step(cfg_none, donate=False)(init_train_state(cfg_none), batch)
+    s2, m2 = make_train_step(cfg_stage, donate=False)(init_train_state(cfg_stage), batch)
+    assert float(m1["loss"]) == pytest.approx(float(m2["loss"]), rel=1e-6)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
