@@ -142,6 +142,9 @@ class ExecutionConfig:
     stable_softmax: bool = True
     # MXU precision for fp32 convs/matmuls ('default'|'high'|'highest').
     matmul_precision: str = "highest"
+    # Clipped ReLU ceiling (the cuDNN-fast variant caps activations at 10,
+    # resnet_cudnn_fast.cu:1143-1145). None = unbounded ReLU.
+    relu_cap: Optional[float] = None
     # Run Pallas kernels in interpreter mode (CPU testing); None = auto
     # (interpret unless running on real TPU).
     pallas_interpret: Optional[bool] = None

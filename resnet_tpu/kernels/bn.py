@@ -101,20 +101,22 @@ def _moments(x2d, *, interpret=False):
 # ---------------------------------------------------------------- apply
 
 
-def _apply_kernel(x_ref, scale_ref, shift_ref, y_ref, *, relu: bool):
+def _apply_kernel(x_ref, scale_ref, shift_ref, y_ref, *, relu: bool, cap=None):
     y = x_ref[:].astype(jnp.float32) * scale_ref[0, :] + shift_ref[0, :]
     if relu:
         y = jnp.maximum(y, 0.0)
+        if cap is not None:
+            y = jnp.minimum(y, cap)  # clipped ReLU (resnet_cudnn_fast.cu:1143)
     y_ref[:] = y.astype(y_ref.dtype)
 
 
-def _apply(x2d, scale, shift, *, relu, interpret=False):
+def _apply(x2d, scale, shift, *, relu, cap=None, interpret=False):
     m, c = x2d.shape
     bm, bc = _block_m(m), _block_c(c)
     xp = _pad2(x2d, bm, bc)
     mp, cp = xp.shape
     out = pl.pallas_call(
-        functools.partial(_apply_kernel, relu=relu),
+        functools.partial(_apply_kernel, relu=relu, cap=cap),
         grid=(mp // bm, cp // bc),
         in_specs=[
             pl.BlockSpec((bm, bc), lambda i, j: (i, j), memory_space=pltpu.VMEM),

@@ -42,7 +42,7 @@ def _conv(x, w, *, stride, ecfg):
 
 
 def _bn_apply(x, bn_params, *, eps, layout, state=None, train=True,
-              relu_fused=False, engine="xla", interpret=False):
+              relu_fused=False, relu_cap=None, engine="xla", interpret=False):
     """BN in train (batch stats) or eval (running stats) mode, with the
     following ReLU fused in when relu_fused=True (doBatchNormAndActivate,
     resnet.cu:289). Returns (y, (mean, var)).
@@ -54,7 +54,7 @@ def _bn_apply(x, bn_params, *, eps, layout, state=None, train=True,
         mean, var = state["mean"], state["var"]
     return bn_act(
         x, bn_params["gamma"], bn_params["beta"], eps=eps, layout=layout,
-        relu=relu_fused, engine=engine, interpret=interpret,
+        relu=relu_fused, relu_cap=relu_cap, engine=engine, interpret=interpret,
         mean=mean, var=var,
     )
 
@@ -75,7 +75,7 @@ def _bottleneck_block(
     out, stats["bn_reduce"] = _bn_apply(
         out, block_params["bn_reduce"], eps=eps, layout=layout,
         state=None if state is None else state["bn_reduce"], train=train,
-        relu_fused=True, engine=engine, interpret=interp,
+        relu_fused=True, relu_cap=ecfg.relu_cap, engine=engine, interpret=interp,
     )
 
     out = _conv(out, block_params["spatial"]["w"], stride=stride, ecfg=ecfg)
@@ -84,7 +84,7 @@ def _bottleneck_block(
     out, stats["bn_spatial"] = _bn_apply(
         out, block_params["bn_spatial"], eps=eps, layout=layout,
         state=None if state is None else state["bn_spatial"], train=train,
-        relu_fused=True, engine=engine, interpret=interp,
+        relu_fused=True, relu_cap=ecfg.relu_cap, engine=engine, interpret=interp,
     )
 
     out = _conv(out, block_params["expand"]["w"], stride=1, ecfg=ecfg)
@@ -108,7 +108,7 @@ def _bottleneck_block(
     else:
         residual = x
 
-    out = residual_join(out, residual, engine=engine, interpret=interp)
+    out = residual_join(out, residual, engine=engine, relu_cap=ecfg.relu_cap, interpret=interp)
     if tape is not None:
         tape["output_activated"] = out
     return out, stats
@@ -128,7 +128,7 @@ def _basic_block(
     out, stats["bn1"] = _bn_apply(
         out, block_params["bn1"], eps=eps, layout=layout,
         state=None if state is None else state["bn1"], train=train,
-        relu_fused=True, engine=engine, interpret=interp,
+        relu_fused=True, relu_cap=ecfg.relu_cap, engine=engine, interpret=interp,
     )
     out = _conv(out, block_params["conv2"]["w"], stride=1, ecfg=ecfg)
     out, stats["bn2"] = _bn_apply(
@@ -147,7 +147,7 @@ def _basic_block(
     else:
         residual = x
 
-    out = residual_join(out, residual, engine=engine, interpret=interp)
+    out = residual_join(out, residual, engine=engine, relu_cap=ecfg.relu_cap, interpret=interp)
     return out, stats
 
 
@@ -187,7 +187,7 @@ def forward(
     out, stats["init_bn"] = _bn_apply(
         out, params["init_bn"], eps=eps, layout=layout,
         state=None if bn_state is None else bn_state["init_bn"], train=train,
-        relu_fused=True, engine=engine, interpret=interp,
+        relu_fused=True, relu_cap=ecfg.relu_cap, engine=engine, interpret=interp,
     )
     if tape is not None:
         tape["init_conv_activated"] = out

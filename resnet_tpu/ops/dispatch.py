@@ -44,6 +44,7 @@ def bn_act(
     eps: float,
     layout: str,
     relu: bool,
+    relu_cap: Optional[float] = None,
     engine: str = "xla",
     interpret: bool = False,
     mean: Optional[jax.Array] = None,
@@ -54,7 +55,7 @@ def bn_act(
     Pallas engine covers the training path (batch stats); eval mode
     (explicit mean/var) always goes through the XLA path.
     """
-    if engine == "pallas" and mean is None and var is None:
+    if engine == "pallas" and mean is None and var is None and relu_cap is None:
         from ..kernels import batch_norm_act
 
         x2, orig = _to2d(x, layout)
@@ -64,17 +65,23 @@ def bn_act(
     y, stats = batch_norm(x, gamma, beta, eps=eps, layout=layout, mean=mean, var=var)
     if relu:
         y = _relu_xla(y)
+        if relu_cap is not None:
+            y = jnp.minimum(y, jnp.asarray(relu_cap, y.dtype))
     return y, stats
 
 
 def residual_join(a: jax.Array, b: jax.Array, *, engine: str = "xla",
+                  relu_cap: Optional[float] = None,
                   interpret: bool = False) -> jax.Array:
     """relu(a + b) — the residual join (resnet.cu:1717-1723)."""
-    if engine == "pallas":
+    if engine == "pallas" and relu_cap is None:
         from ..kernels import add_relu
 
         return add_relu(a, b, interpret)
-    return _relu_xla(a + b)
+    y = _relu_xla(a + b)
+    if relu_cap is not None:
+        y = jnp.minimum(y, jnp.asarray(relu_cap, y.dtype))
+    return y
 
 
 def conv(x, w, *, stride: int = 1, layout: str = "NHWC",

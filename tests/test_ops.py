@@ -168,3 +168,28 @@ def test_cross_entropy_sum_grad_is_softmax_minus_onehot(rng):
     p = np.asarray(softmax(logits))
     onehot = np.eye(6, dtype=np.float32)[np.asarray(labels)]
     np.testing.assert_allclose(np.asarray(g), p - onehot, rtol=1e-5, atol=1e-6)
+
+
+def test_relu_cap_dispatch():
+    """Clipped ReLU (cuDNN-fast cap 10, resnet_cudnn_fast.cu:1143-1145)
+    through the dispatch layer."""
+    import jax.numpy as jnp
+
+    from resnet_tpu.ops.dispatch import bn_act, residual_join
+
+    x = jnp.asarray([[-5.0, 2.0, 50.0, 7.0]], jnp.float32).reshape(1, 1, 1, 4)
+    gamma = jnp.ones((4,), jnp.float32)
+    beta = jnp.zeros((4,), jnp.float32)
+    # eval-mode BN with identity stats (mean 0, var 1) keeps values intact
+    y, _ = bn_act(
+        x, gamma, beta, eps=0.0, layout="NHWC", relu=True, relu_cap=10.0,
+        mean=jnp.zeros((4,)), var=jnp.ones((4,)),
+    )
+    np.testing.assert_allclose(
+        np.asarray(y).ravel(), [0.0, 2.0, 10.0, 7.0], atol=1e-5
+    )
+
+    a = jnp.full((1, 1, 1, 4), 8.0, jnp.float32)
+    b = jnp.asarray([[-20.0, 0.0, 1.0, 8.0]], jnp.float32).reshape(1, 1, 1, 4)
+    j = residual_join(a, b, relu_cap=10.0)
+    np.testing.assert_allclose(np.asarray(j).ravel(), [0.0, 8.0, 9.0, 10.0], atol=1e-6)
