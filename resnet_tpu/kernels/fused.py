@@ -24,11 +24,14 @@ from .bn import _apply as bias_act_2d  # reuse the BN apply kernel
 
 
 def _add_relu_kernel(a_ref, b_ref, o_ref):
-    o_ref[:] = jnp.maximum(a_ref[:] + b_ref[:], 0).astype(o_ref.dtype)
+    # compute/compare in fp32: Mosaic on v5e rejects bf16 cmpf
+    s = a_ref[:].astype(jnp.float32) + b_ref[:].astype(jnp.float32)
+    o_ref[:] = jnp.maximum(s, 0.0).astype(o_ref.dtype)
 
 
 def _add_relu_mask_kernel(a_ref, b_ref, g_ref, o_ref):
-    o_ref[:] = jnp.where(a_ref[:] + b_ref[:] > 0, g_ref[:], 0).astype(o_ref.dtype)
+    s = a_ref[:].astype(jnp.float32) + b_ref[:].astype(jnp.float32)
+    o_ref[:] = jnp.where(s > 0, g_ref[:].astype(jnp.float32), 0.0).astype(o_ref.dtype)
 
 
 def _flatten2(x):
@@ -81,9 +84,32 @@ def _add_relu_bwd(interpret, res, g):
 add_relu.defvjp(_add_relu_fwd, _add_relu_bwd)
 
 
-def bias_act(x, scale, shift, *, relu=True, interpret=False):
-    """y = [relu](x * scale + shift), scale/shift broadcast over rows."""
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def bias_act(x, scale, shift, relu=True, interpret=False):
+    """y = [relu](x * scale + shift), scale/shift broadcast over rows
+    (per-channel, channels = last dim). Differentiable."""
     orig_shape = x.shape
-    x2 = _flatten2(x)
-    y = bias_act_2d(x2, scale, shift, relu=relu, interpret=interpret)
+    y = bias_act_2d(_flatten2(x), scale, shift, relu=relu, interpret=interpret)
     return y.reshape(orig_shape)
+
+
+def _bias_act_fwd(x, scale, shift, relu, interpret):
+    return bias_act(x, scale, shift, relu, interpret), (x, scale, shift)
+
+
+def _bias_act_bwd(relu, interpret, res, dy):
+    x, scale, shift = res
+    xf = x.astype(jnp.float32)
+    sf = jnp.asarray(scale, jnp.float32)
+    dv = dy.astype(jnp.float32)
+    if relu:
+        v = xf * sf + jnp.asarray(shift, jnp.float32)
+        dv = jnp.where(v > 0, dv, 0.0)
+    axes = tuple(range(x.ndim - 1))
+    dx = (dv * sf).astype(x.dtype)
+    dscale = jnp.sum(dv * xf, axis=axes).astype(jnp.asarray(scale).dtype)
+    dshift = jnp.sum(dv, axis=axes).astype(jnp.asarray(shift).dtype)
+    return dx, dscale, dshift
+
+
+bias_act.defvjp(_bias_act_fwd, _bias_act_bwd)

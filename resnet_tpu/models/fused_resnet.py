@@ -1,0 +1,117 @@
+"""Fully-fused ResNet forward (ExecutionConfig.kernels='fused').
+
+The HBM-roofline execution path: every activation tensor is written once by
+the conv that produces it and read once by the op that consumes it. BN
+statistics accumulate inside the producing conv's epilogue; BN affines are
+applied inside the consuming conv's prologue (kernels/fused_conv.py). The
+only standalone elementwise passes left are the stem's BN-apply before
+maxpool (pooling cannot host a non-monotone prologue: gamma may be
+negative) and the residual joins.
+
+Semantically identical to models/resnet.py's train-mode forward — same
+batch-stats BN, same centered-window geometry, same zero-pad handling —
+verified by tests/test_fused_model.py. Train-mode, NHWC, bottleneck-only;
+other configurations route through the standard path.
+
+Mapping to the reference: this is the logical endpoint of the reference's
+own fusion trajectory — doBatchNormAndActivate fused stats+affine+ReLU into
+one kernel (resnet.cu:289); here the same math rides the convolutions so
+the big tensors never make an extra HBM round-trip.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ExecutionConfig, ModelConfig
+from ..kernels.fused import bias_act
+from ..kernels.fused_conv import bn_affine_from_sums, fused_conv, fused_join
+from ..ops import global_avg_pool, linear, max_pool
+
+
+def _stats(sums, m):
+    mean = sums[0] / m
+    var = jnp.maximum(sums[1] / m - mean * mean, 0.0)
+    return mean, var
+
+
+def fused_forward(
+    params,
+    x: jax.Array,
+    mcfg: ModelConfig,
+    ecfg: ExecutionConfig,
+) -> Tuple[jax.Array, Dict[str, Any]]:
+    assert mcfg.bottleneck, "fused path covers bottleneck models"
+    assert ecfg.layout == "NHWC", "fused path is NHWC-only"
+    eps = mcfg.bn_eps
+    interp = ecfg.resolve_interpret()
+    x = x.astype(ecfg.cdtype)
+    ones = jnp.ones((1,), jnp.float32)
+    zeros = jnp.zeros((1,), jnp.float32)
+    stats: Dict[str, Any] = {}
+
+    def affine(sums, bn, m):
+        return bn_affine_from_sums(sums, bn["gamma"], bn["beta"], m, eps)
+
+    # stem: conv + stats; affine+relu as one standalone pass (maxpool cannot
+    # host the prologue), then pool
+    y0, sums0 = fused_conv(
+        x, params["init_conv"]["w"], ones, zeros,
+        mcfg.init_stride, None, False, False, interp,
+    )
+    m0 = y0.shape[0] * y0.shape[1] * y0.shape[2]
+    stats["init_bn"] = _stats(sums0, m0)
+    sc0, sh0 = affine(sums0, params["init_bn"], m0)
+    act0 = bias_act(y0, sc0, sh0, True, interp)
+    out = max_pool(act0, kernel=mcfg.maxpool_kernel, stride=mcfg.maxpool_stride,
+                   layout="NHWC")
+
+    block_stats = []
+    for i, bp in enumerate(params["blocks"]):
+        stride = 2 if mcfg.is_reduction_block(i) else 1
+        bstats: Dict[str, Any] = {}
+
+        r, sums_r = fused_conv(out, bp["reduce"]["w"], ones, zeros,
+                               1, None, False, False, interp)
+        m_r = r.shape[0] * r.shape[1] * r.shape[2]
+        bstats["bn_reduce"] = _stats(sums_r, m_r)
+        sc_r, sh_r = affine(sums_r, bp["bn_reduce"], m_r)
+
+        s_, sums_s = fused_conv(r, bp["spatial"]["w"], sc_r, sh_r,
+                                stride, None, True, True, interp)
+        m_s = s_.shape[0] * s_.shape[1] * s_.shape[2]
+        bstats["bn_spatial"] = _stats(sums_s, m_s)
+        sc_s, sh_s = affine(sums_s, bp["bn_spatial"], m_s)
+
+        e, sums_e = fused_conv(s_, bp["expand"]["w"], sc_s, sh_s,
+                               1, None, True, True, interp)
+        m_e = e.shape[0] * e.shape[1] * e.shape[2]
+        bstats["bn_expand"] = _stats(sums_e, m_e)
+        sc_e, sh_e = affine(sums_e, bp["bn_expand"], m_e)
+
+        if "proj" in bp:
+            p, sums_p = fused_conv(out, bp["proj"]["w"], ones, zeros,
+                                   stride, None, False, False, interp)
+            m_p = p.shape[0] * p.shape[1] * p.shape[2]
+            bstats["bn_proj"] = _stats(sums_p, m_p)
+            sc_p, sh_p = affine(sums_p, bp["bn_proj"], m_p)
+            out = fused_join(e, sc_e, sh_e, p, sc_p, sh_p, interp)
+        else:
+            c = out.shape[-1]
+            out = fused_join(
+                e, sc_e, sh_e, out,
+                jnp.ones((c,), jnp.float32), jnp.zeros((c,), jnp.float32),
+                interp,
+            )
+        block_stats.append(bstats)
+    stats["blocks"] = block_stats
+
+    pooled = global_avg_pool(out, layout="NHWC")
+    logits = linear(
+        pooled, params["fc"]["w"], params["fc"].get("b"),
+        precision=ecfg.matmul_precision,
+    ).astype(jnp.float32)
+    return logits, {"bn_stats": stats}

@@ -170,6 +170,17 @@ def forward(
     dump/fidelity harness.
     """
     ecfg = ecfg or ExecutionConfig()
+    if (
+        ecfg.kernels == "fused"
+        and train
+        and not capture
+        and mcfg.bottleneck
+        and ecfg.layout == "NHWC"
+        and ecfg.relu_cap is None
+    ):
+        from .fused_resnet import fused_forward
+
+        return fused_forward(params, x, mcfg, ecfg)
     layout = ecfg.layout
     eps = mcfg.bn_eps
     prec = ecfg.matmul_precision
