@@ -27,6 +27,8 @@ def main():
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--remat", default="none")
+    ap.add_argument("--kernels", default="xla",
+                    choices=["xla", "pallas", "fused"])
     args = ap.parse_args()
 
     from resnet_tpu.config import (
@@ -46,6 +48,7 @@ def main():
     cfg = TrainConfig(
         model=model_config("resnet50", input_dim=image_dim),
         execution=ExecutionConfig(
+            kernels=args.kernels,
             compute_dtype=args.dtype,
             matmul_precision="default",
             remat=args.remat,

@@ -43,7 +43,7 @@ def build_config(argv=None) -> tuple:
     ap.add_argument("--shard-layout", default="NCHW", choices=["NHWC", "NCHW"])
     ap.add_argument("--layout", default="NHWC", choices=["NHWC", "NCHW"])
     ap.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
-    ap.add_argument("--kernels", default="xla", choices=["xla", "pallas"])
+    ap.add_argument("--kernels", default="xla", choices=["xla", "pallas", "fused"])
     ap.add_argument("--conv-kernels", default="xla", choices=["xla", "pallas"])
     ap.add_argument("--remat", default="none", choices=["none", "block"])
     ap.add_argument("--optimizer", default="adam", choices=["adam", "sgd"])
