@@ -95,3 +95,33 @@ def test_inspect_input(tmp_path, rng):
     import os
 
     assert os.path.getsize(out) > 0
+
+
+def test_compare_dumps_tool(dumped, tmp_path):
+    import subprocess
+    import sys
+
+    d, params, tape, _ = dumped
+    # identical dumps compare clean
+    r = subprocess.run(
+        [sys.executable, "tools/compare_dumps.py", d, d],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "0 failed" in r.stdout
+
+    # perturbed dump fails
+    import json, os, shutil
+    bad = str(tmp_path / "bad")
+    shutil.copytree(d, bad)
+    with open(os.path.join(bad, "manifest.json")) as f:
+        m = json.load(f)
+    name = "final_avg_pool"
+    arr = np.fromfile(os.path.join(bad, m[name]["file"]), np.float32)
+    (arr + 1.0).tofile(os.path.join(bad, m[name]["file"]))
+    r = subprocess.run(
+        [sys.executable, "tools/compare_dumps.py", d, bad],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 1
+    assert "FAIL" in r.stdout
