@@ -44,7 +44,6 @@ def fused_forward(
     mcfg: ModelConfig,
     ecfg: ExecutionConfig,
 ) -> Tuple[jax.Array, Dict[str, Any]]:
-    assert mcfg.bottleneck, "fused path covers bottleneck models"
     assert ecfg.layout == "NHWC", "fused path is NHWC-only"
     eps = mcfg.bn_eps
     interp = ecfg.resolve_interpret()
@@ -73,6 +72,38 @@ def fused_forward(
     for i, bp in enumerate(params["blocks"]):
         stride = 2 if mcfg.is_reduction_block(i) else 1
         bstats: Dict[str, Any] = {}
+
+        if not mcfg.bottleneck:
+            # basic block (resnet18/34): conv1 -> BN+ReLU -> conv2 -> BN,
+            # join with (projected) residual
+            c1, sums_1 = fused_conv(out, bp["conv1"]["w"], ones, zeros,
+                                    stride, None, False, False, interp)
+            m_1 = c1.shape[0] * c1.shape[1] * c1.shape[2]
+            bstats["bn1"] = _stats(sums_1, m_1)
+            sc_1, sh_1 = affine(sums_1, bp["bn1"], m_1)
+
+            c2, sums_2 = fused_conv(c1, bp["conv2"]["w"], sc_1, sh_1,
+                                    1, None, True, True, interp)
+            m_2 = c2.shape[0] * c2.shape[1] * c2.shape[2]
+            bstats["bn2"] = _stats(sums_2, m_2)
+            sc_2, sh_2 = affine(sums_2, bp["bn2"], m_2)
+
+            if "proj" in bp:
+                p, sums_p = fused_conv(out, bp["proj"]["w"], ones, zeros,
+                                       stride, None, False, False, interp)
+                m_p = p.shape[0] * p.shape[1] * p.shape[2]
+                bstats["bn_proj"] = _stats(sums_p, m_p)
+                sc_p, sh_p = affine(sums_p, bp["bn_proj"], m_p)
+                out = fused_join(c2, sc_2, sh_2, p, sc_p, sh_p, interp)
+            else:
+                c = out.shape[-1]
+                out = fused_join(
+                    c2, sc_2, sh_2, out,
+                    jnp.ones((c,), jnp.float32), jnp.zeros((c,), jnp.float32),
+                    interp,
+                )
+            block_stats.append(bstats)
+            continue
 
         r, sums_r = fused_conv(out, bp["reduce"]["w"], ones, zeros,
                                1, None, False, False, interp)

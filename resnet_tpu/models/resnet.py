@@ -174,7 +174,6 @@ def forward(
         ecfg.kernels == "fused"
         and train
         and not capture
-        and mcfg.bottleneck
         and ecfg.layout == "NHWC"
         and ecfg.relu_cap is None
     ):

@@ -81,3 +81,16 @@ def test_train_step_runs_and_learns(rng):
         losses.append(float(m["loss"]))
     assert losses[-1] < losses[0]
     assert np.all(np.isfinite(losses))
+
+
+def test_basic_block_fused_parity(rng):
+    """Fused path on a basic-block (resnet18-style) tiny model."""
+    mcfg = tiny_model_config(bottleneck=False, expansion=1)
+    params = init_params(jax.random.PRNGKey(0), mcfg)
+    x = jnp.asarray(rng.normal(0, 50, (4, 16, 16, 3)).astype(np.float32))
+    lx, _ = forward(params, x, mcfg, ExecutionConfig(kernels="xla"), train=True)
+    lf, _ = forward(
+        params, x, mcfg,
+        ExecutionConfig(kernels="fused", pallas_interpret=True), train=True,
+    )
+    np.testing.assert_allclose(np.asarray(lx), np.asarray(lf), rtol=1e-3, atol=1e-4)
