@@ -45,7 +45,7 @@ from ..ops.padding import reference_padding
 
 
 def _fused_conv_kernel(
-    x_ref, w_ref, scale_ref, shift_ref, o_ref, sums_ref, acc_ref,
+    x_ref, w_ref, scale_ref, shift_ref, o_ref, sums_ref, acc_ref, xbuf_ref,
     *, kh, kw, stride, ho, wo, nb, prologue, relu, valid,
 ):
     """Grid (co_tiles, n/nb): image-batch innermost so the sums block stays
@@ -75,15 +75,33 @@ def _fused_conv_kernel(
     x = x.astype(o_ref.dtype)
 
     acc_ref[:] = jnp.zeros_like(acc_ref)
-    for i in range(kh):
-        for j in range(kw):
-            win = x[:, i : i + ho * s, j : j + wo * s, :]
-            if s > 1:
-                win = win.reshape(nb, ho, s, wo, s, cin)[:, :, 0, :, 0, :]
-            acc_ref[:] += jnp.dot(
-                win.reshape(nb * ho * wo, cin), w_ref[i, j],
-                preferred_element_type=jnp.float32,
-            )
+
+    def tap(win, wt):
+        if s > 1:
+            win = win.reshape(nb, ho, s, wo, s, cin)[:, :, 0, :, 0, :]
+        acc_ref[:] += jnp.dot(
+            win.reshape(nb * ho * wo, cin), wt,
+            preferred_element_type=jnp.float32,
+        )
+
+    if kh * kw <= 9:
+        # small kernels: unroll (best scheduling)
+        for i in range(kh):
+            for j in range(kw):
+                tap(x[:, i : i + ho * s, j : j + wo * s, :], w_ref[i, j])
+    else:
+        # large kernels (7x7 stem): fori_loop keeps the IR 49x smaller —
+        # the unrolled form OOM-killed the XLA compile helper
+        def tap_body(t, _):
+            i = t // kw
+            j = t % kw
+            win = xbuf_ref[:, pl.ds(i, ho * s), pl.ds(j, wo * s), :]
+            wt = w_ref[pl.ds(i, 1), pl.ds(j, 1)].reshape(cin, w_ref.shape[3])
+            tap(win, wt)
+            return 0
+
+        xbuf_ref[:] = x
+        jax.lax.fori_loop(0, kh * kw, tap_body, 0)
     y = acc_ref[:]
     o_ref[:] = y.reshape(nb, ho, wo, o_ref.shape[3]).astype(o_ref.dtype)
     sums_ref[0, :] += jnp.sum(y, axis=0)
@@ -154,7 +172,10 @@ def _fused_conv_raw(
             jax.ShapeDtypeStruct((n, ho, wo, coutp), x.dtype),
             jax.ShapeDtypeStruct((2, coutp), jnp.float32),
         ),
-        scratch_shapes=[pltpu.VMEM((nb * ho * wo, block_co), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((nb * ho * wo, block_co), jnp.float32),
+            pltpu.VMEM((nb, hp, wp, cin), x.dtype),
+        ],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * n * ho * wo * kh * kw * cin * cout,
