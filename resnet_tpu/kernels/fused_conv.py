@@ -90,18 +90,19 @@ def _fused_conv_kernel(
             for j in range(kw):
                 tap(x[:, i : i + ho * s, j : j + wo * s, :], w_ref[i, j])
     else:
-        # large kernels (7x7 stem): fori_loop keeps the IR 49x smaller —
-        # the unrolled form OOM-killed the XLA compile helper
-        def tap_body(t, _):
-            i = t // kw
-            j = t % kw
-            win = xbuf_ref[:, pl.ds(i, ho * s), pl.ds(j, wo * s), :]
-            wt = w_ref[pl.ds(i, 1), pl.ds(j, 1)].reshape(cin, w_ref.shape[3])
-            tap(win, wt)
+        # large kernels (7x7 stem): loop the H taps, unroll the W taps —
+        # full 49-tap unrolling OOM-killed the XLA compile helper, and
+        # Mosaic requires static (tile-aligned) offsets on the sublane (W)
+        # dim, so only the H offset may be a loop index
+        def tap_row(i, _):
+            for j in range(kw):
+                win = xbuf_ref[:, pl.ds(i, ho * s), j : j + wo * s, :]
+                wt = w_ref[pl.ds(i, 1), j].reshape(cin, w_ref.shape[3])
+                tap(win, wt)
             return 0
 
         xbuf_ref[:] = x
-        jax.lax.fori_loop(0, kh * kw, tap_body, 0)
+        jax.lax.fori_loop(0, kh, tap_row, 0)
     y = acc_ref[:]
     o_ref[:] = y.reshape(nb, ho, wo, o_ref.shape[3]).astype(o_ref.dtype)
     sums_ref[0, :] += jnp.sum(y, axis=0)

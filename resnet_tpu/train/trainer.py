@@ -109,6 +109,12 @@ class Trainer:
             channels=self.cfg.model.in_channels,
             disk_layout=dcfg.layout,
         )
+        # multi-host: each host feeds its local chips a distinct shard
+        # stream (host i starts num_shards/n_hosts shards in); batch_size
+        # is per-host (the mesh assembles the global batch across hosts)
+        n_hosts = jax.process_count()
+        if n_hosts > 1 and self.cursor.shard == 0 and self.cursor.batch_in_shard == 0:
+            self.cursor.shard = (dcfg.num_shards // n_hosts) * jax.process_index()
         # prefer the native C++ read-ahead loader (csrc/shard_loader.cc);
         # fall back to the Python mmap iterator (also used when train-time
         # flip augmentation is on — the flip runs host-side in numpy)
