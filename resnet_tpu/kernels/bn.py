@@ -98,6 +98,29 @@ def _moments(x2d, *, interpret=False):
     return out[0, :c], out[1, :c]
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def moments(x2d, interpret=False):
+    """Differentiable one-read (mean, var) over rows: d(mean)/dx = 1/M,
+    d(var)/dx = 2(x - mean)/M (biased variance)."""
+    return _moments(x2d, interpret=interpret)
+
+
+def _moments_fwd(x2d, interpret):
+    mean, var = _moments(x2d, interpret=interpret)
+    return (mean, var), (x2d, mean)
+
+
+def _moments_bwd(interpret, res, cts):
+    x2d, mean = res
+    dmean, dvar = cts
+    m = x2d.shape[0]
+    dx = dmean / m + dvar * 2.0 * (x2d.astype(jnp.float32) - mean) / m
+    return (dx.astype(x2d.dtype),)
+
+
+moments.defvjp(_moments_fwd, _moments_bwd)
+
+
 # ---------------------------------------------------------------- apply
 
 

@@ -55,15 +55,22 @@ def fused_forward(
     def affine(sums, bn, m):
         return bn_affine_from_sums(sums, bn["gamma"], bn["beta"], m, eps)
 
-    # stem: conv + stats; affine+relu as one standalone pass (maxpool cannot
-    # host the prologue), then pool
-    y0, sums0 = fused_conv(
-        x, params["init_conv"]["w"], ones, zeros,
-        mcfg.init_stride, None, False, False, interp,
-    )
+    # stem: XLA conv (cin=3 maps terribly onto the 128-lane dim — Mosaic
+    # compile blows up, and the MXU K=3 contraction is the one conv XLA's
+    # specialized small-channel path handles better anyway); stats via the
+    # one-read Pallas moments kernel, affine+ReLU one standalone pass
+    # (maxpool cannot host a non-monotone prologue), then pool
+    from ..kernels.bn import moments
+    from ..ops import conv2d
+
+    y0 = conv2d(x, params["init_conv"]["w"], stride=mcfg.init_stride,
+                layout="NHWC", precision=ecfg.matmul_precision)
     m0 = y0.shape[0] * y0.shape[1] * y0.shape[2]
-    stats["init_bn"] = _stats(sums0, m0)
-    sc0, sh0 = affine(sums0, params["init_bn"], m0)
+    mean0, var0 = moments(y0.reshape(-1, y0.shape[-1]), interp)
+    stats["init_bn"] = (mean0, var0)
+    inv0 = jax.lax.rsqrt(var0 + jnp.float32(eps))
+    sc0 = params["init_bn"]["gamma"].astype(jnp.float32) * inv0
+    sh0 = params["init_bn"]["beta"].astype(jnp.float32) - sc0 * mean0
     act0 = bias_act(y0, sc0, sh0, True, interp)
     out = max_pool(act0, kernel=mcfg.maxpool_kernel, stride=mcfg.maxpool_stride,
                    layout="NHWC")
