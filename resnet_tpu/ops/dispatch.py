@@ -55,13 +55,23 @@ def bn_act(
     Pallas engine covers the training path (batch stats); eval mode
     (explicit mean/var) always goes through the XLA path.
     """
-    if engine == "pallas" and mean is None and var is None and relu_cap is None:
-        from ..kernels import batch_norm_act
+    if engine == "pallas" and mean is None and var is None and layout == "NHWC":
+        # hybrid: one-read Pallas moments kernel for the statistics (the
+        # measured bottleneck — XLA spends ~19ms/step re-reading
+        # activations for mean and E[x^2]); normalize+ReLU stays in jnp so
+        # XLA fuses it into neighboring ops for free.
+        from ..kernels.bn import moments
 
         x2, orig = _to2d(x, layout)
-        y2, m, v = batch_norm_act(x2, gamma, beta, eps, relu, interpret)
-        y = _from2d(y2, layout, orig, x.shape)
-        return y, (m, v)
+        m, v = moments(x2, interpret)
+        y, stats = batch_norm(
+            x, gamma, beta, eps=eps, layout=layout, mean=m, var=v
+        )
+        if relu:
+            y = _relu_xla(y)
+            if relu_cap is not None:
+                y = jnp.minimum(y, jnp.asarray(relu_cap, y.dtype))
+        return y, stats
     y, stats = batch_norm(x, gamma, beta, eps=eps, layout=layout, mean=mean, var=var)
     if relu:
         y = _relu_xla(y)
