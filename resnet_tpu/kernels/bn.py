@@ -37,7 +37,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _block_c(c: int) -> int:
-    return min(128 * ((c + 127) // 128), 512)
+    if c <= 128:
+        # sub-lane-width channel counts (e.g. ResNet's 64): take the tensor
+        # as-is — jnp.pad to 128 lanes would cost a full HBM copy of the
+        # activation before the kernel even runs
+        return c
+    return min(128 * ((c + 127) // 128), 1024)
 
 
 def _block_m(m: int) -> int:
