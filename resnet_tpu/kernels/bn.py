@@ -42,11 +42,13 @@ def _block_c(c: int) -> int:
         # as-is — jnp.pad to 128 lanes would cost a full HBM copy of the
         # activation before the kernel even runs
         return c
-    return min(128 * ((c + 127) // 128), 1024)
+    return min(128 * ((c + 127) // 128), 512)
 
 
 def _block_m(m: int) -> int:
-    return min(512 * ((min(m, 512) + 511) // 512), 1024)
+    # 512 rows keeps (x, dy, dx) fp32 tiles + double buffering well inside
+    # the 16MB VMEM budget at bc=512
+    return min(512, max(8, m))
 
 
 def _pad2(x, bm, bc):

@@ -44,8 +44,10 @@ def _run_elementwise(kernel, out_dtype, *arrays, interpret=False):
     orig_shape = arrays[0].shape
     flats = [_flatten2(a) for a in arrays]
     m, c = flats[0].shape
-    bm = min(1024, m)
-    bc = min(128 * ((c + 127) // 128), 1024)
+    # keep blocks small: up to 4 operands x block x 2 (double buffering)
+    # must stay well under the 16MB VMEM budget
+    bm = min(512, m)
+    bc = c if c <= 128 else min(128 * ((c + 127) // 128), 512)
     padded = []
     for f in flats:
         pm, pc = (-m) % bm, (-c) % bc
