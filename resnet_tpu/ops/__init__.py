@@ -7,7 +7,7 @@ from .batchnorm import (
 )
 from .conv import conv2d
 from .linear import linear
-from .loss import cross_entropy, top1_accuracy
+from .loss import cross_entropy, top1_accuracy, topk_accuracy
 from .padding import reference_padding
 from .pooling import global_avg_pool, max_pool
 from .softmax import log_softmax, softmax
@@ -23,6 +23,7 @@ __all__ = [
     "linear",
     "cross_entropy",
     "top1_accuracy",
+    "topk_accuracy",
     "reference_padding",
     "global_avg_pool",
     "max_pool",

@@ -38,3 +38,11 @@ def cross_entropy(
 
 def top1_accuracy(logits: jax.Array, labels: jax.Array) -> jax.Array:
     return jnp.mean((jnp.argmax(logits, axis=-1) == labels).astype(jnp.float32))
+
+
+def topk_accuracy(logits: jax.Array, labels: jax.Array, k: int = 5) -> jax.Array:
+    """Top-k accuracy (new vs the reference, which reports top-1 only;
+    standard for ImageNet eval)."""
+    _, topk = jax.lax.top_k(logits, k)
+    hit = jnp.any(topk == labels[:, None], axis=-1)
+    return jnp.mean(hit.astype(jnp.float32))

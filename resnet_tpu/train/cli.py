@@ -132,7 +132,7 @@ def main(argv=None):
         metrics = trainer.evaluate(data, n)
         print(
             f"eval over {n} batches: loss={metrics['loss']:.5f} "
-            f"top1={metrics['accuracy']:.4f}"
+            f"top1={metrics['accuracy']:.4f} top5={metrics.get('top5', 0):.4f}"
         )
     elif args.steps:
         trainer.run(args.steps)

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from ..config import TrainConfig
 from ..models import forward
-from ..ops import cross_entropy, top1_accuracy, update_running_stats
+from ..ops import cross_entropy, top1_accuracy, topk_accuracy, update_running_stats
 from ..optim import adam_update, make_schedule, sgd_update
 from .state import TrainState
 
@@ -145,7 +145,11 @@ def eval_step(state: TrainState, batch, cfg: TrainConfig):
         bn_state=state.bn_state,
     )
     loss = cross_entropy(logits, batch["labels"], reduction="mean")
-    return {"loss": loss, "accuracy": top1_accuracy(logits, batch["labels"])}
+    return {
+        "loss": loss,
+        "accuracy": top1_accuracy(logits, batch["labels"]),
+        "top5": topk_accuracy(logits, batch["labels"], 5),
+    }
 
 
 def make_train_step(cfg: TrainConfig, mesh=None, donate: bool = True):

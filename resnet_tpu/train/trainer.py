@@ -207,19 +207,16 @@ class Trainer:
         self.finalize()
 
     def evaluate(self, data: Iterator, num_batches: int) -> Dict[str, float]:
-        losses, accs = [], []
+        sums: Dict[str, float] = {}
         it = prefetch_to_device(
             data, depth=self.cfg.data.prefetch, mesh=self.mesh,
             data_axis=self.cfg.parallel.data_axis,
         )
         for _ in range(num_batches):
             m = jax.device_get(self.eval_step(self.state, next(it)))
-            losses.append(float(m["loss"]))
-            accs.append(float(m["accuracy"]))
-        return {
-            "loss": float(np.mean(losses)),
-            "accuracy": float(np.mean(accs)),
-        }
+            for k, v in m.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+        return {k: v / num_batches for k, v in sums.items()}
 
     def finalize(self):
         if self.cfg.checkpoint_dir:
