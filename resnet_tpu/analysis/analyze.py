@@ -13,8 +13,7 @@ Covers the notebook's three jobs (SURVEY.md section 2.6):
 
 from __future__ import annotations
 
-import os
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 

@@ -176,6 +176,10 @@ class OptimizerConfig:
     beta2: float = 0.999  # VAR_DECAY
     eps: float = 1e-7  # EPS
     momentum: float = 0.9  # for sgd
+    # Skip weight decay on BN gamma/beta and biases ('no_bn') — standard
+    # for the 76% recipe (Goyal et al. 2017); 'all' decays everything like
+    # the reference kernels do.
+    wd_mask: str = "all"  # 'all' | 'no_bn'
     # Per-element non-finite guards matching the reference optimizer kernels
     # (resnet.cu:605-662): skip m/v update on non-finite grad, roll back any
     # param that would become non-finite.
@@ -186,6 +190,8 @@ class OptimizerConfig:
     total_steps: int = 0  # required for cosine
     # Fused Pallas optimizer update path.
     fused: bool = False
+    # Label smoothing for the training CE (0 = reference behavior).
+    label_smoothing: float = 0.0
 
 
 @dataclass(frozen=True)

@@ -23,7 +23,7 @@ exactly (overwrite_trainer_hyperparams, resnet.cu:2796-2813).
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, Iterator, Optional, Tuple
 
 import numpy as np

@@ -14,7 +14,6 @@ decoupled in the step, per-element guards.
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax

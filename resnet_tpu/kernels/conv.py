@@ -28,7 +28,7 @@ centered-window geometry (ops/padding.py).
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -34,8 +34,6 @@ Used by ExecutionConfig(kernels='fused') via models/fused_resnet.py.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

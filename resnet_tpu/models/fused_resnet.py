@@ -21,7 +21,7 @@ the big tensors never make an extra HBM round-trip.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -21,7 +21,6 @@ strategy (resnet_clean.cu:2459-2958).
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, Optional, Tuple
 
 import jax

@@ -24,9 +24,15 @@ def cross_entropy(
     labels: jax.Array,
     *,
     reduction: str = "sum",
+    label_smoothing: float = 0.0,
 ) -> jax.Array:
     logp = log_softmax(logits.astype(jnp.float32))
     nll = -jnp.take_along_axis(logp, labels[:, None].astype(jnp.int32), axis=1)[:, 0]
+    if label_smoothing:
+        # smoothed CE = (1-a)*nll + a*mean_k(-logp_k)  (new vs reference;
+        # part of the standard ImageNet recipe)
+        a = jnp.float32(label_smoothing)
+        nll = (1 - a) * nll - a * jnp.mean(logp, axis=-1)
     if reduction == "sum":
         return jnp.sum(nll)
     if reduction == "mean":

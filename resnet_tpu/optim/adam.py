@@ -63,10 +63,13 @@ def adam_update(
     beta2: float = 0.999,
     eps: float = 1e-7,
     nonfinite_guard: bool = True,
+    wd_mask=None,
 ):
     """One Adam step. Returns (new_params, new_state).
 
     learning_rate may be a python float or a traced scalar (schedules).
+    wd_mask: optional pytree of per-leaf 0/1 multipliers on weight decay
+    (e.g. exempting BN gamma/beta per the Goyal et al. recipe).
     """
     b1 = jnp.float32(beta1)
     b2 = jnp.float32(beta2)
@@ -77,10 +80,10 @@ def adam_update(
     cur_mean_decay = state.mean_decay_prod * b1
     cur_var_decay = state.var_decay_prod * b2
 
-    def leaf_update(p, g, m, v):
+    def leaf_update(p, g, m, v, wleaf):
         pf = p.astype(jnp.float32)
         gf = g.astype(jnp.float32)
-        g_wd = gf + wd * pf
+        g_wd = gf + wd * wleaf * pf
         new_m = b1 * m + (1 - b1) * g_wd
         new_v = b2 * v + (1 - b2) * jnp.square(g_wd)
         if nonfinite_guard:
@@ -89,7 +92,7 @@ def adam_update(
             new_v = jnp.where(finite, new_v, v)  # resnet.cu:629-636
         m_adj = new_m / (1 - cur_mean_decay)
         v_adj = new_v / (1 - cur_var_decay)
-        new_p = pf - (lr * m_adj / (jnp.sqrt(v_adj) + eps) + wd * pf)
+        new_p = pf - (lr * m_adj / (jnp.sqrt(v_adj) + eps) + wd * wleaf * pf)
         if nonfinite_guard:
             # rollback any element that went non-finite (resnet.cu:651-661)
             new_p = jnp.where(jnp.isfinite(new_p), new_p, pf)
@@ -99,7 +102,15 @@ def adam_update(
     flat_g = treedef.flatten_up_to(grads)
     flat_m = treedef.flatten_up_to(state.means)
     flat_v = treedef.flatten_up_to(state.vars)
-    out = [leaf_update(p, g, m, v) for p, g, m, v in zip(flat_p, flat_g, flat_m, flat_v)]
+    flat_w = (
+        treedef.flatten_up_to(wd_mask)
+        if wd_mask is not None
+        else [jnp.float32(1.0)] * len(flat_p)
+    )
+    out = [
+        leaf_update(p, g, m, v, wl)
+        for p, g, m, v, wl in zip(flat_p, flat_g, flat_m, flat_v, flat_w)
+    ]
     new_params = treedef.unflatten([o[0] for o in out])
     new_means = treedef.unflatten([o[1] for o in out])
     new_vars = treedef.unflatten([o[2] for o in out])

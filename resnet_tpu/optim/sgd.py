@@ -33,13 +33,14 @@ def sgd_update(
     momentum: float = 0.9,
     weight_decay: float = 0.0,
     nesterov: bool = False,
+    wd_mask=None,
 ):
     lr = jnp.asarray(learning_rate, jnp.float32)
     mu = jnp.float32(momentum)
     wd = jnp.float32(weight_decay)
 
-    def leaf(p, g, buf):
-        gf = g.astype(jnp.float32) + wd * p.astype(jnp.float32)
+    def leaf(p, g, buf, wleaf):
+        gf = g.astype(jnp.float32) + wd * wleaf * p.astype(jnp.float32)
         new_buf = mu * buf + gf
         step_dir = gf + mu * new_buf if nesterov else new_buf
         return (p.astype(jnp.float32) - lr * step_dir).astype(p.dtype), new_buf
@@ -47,7 +48,12 @@ def sgd_update(
     flat_p, treedef = jax.tree.flatten(params)
     flat_g = treedef.flatten_up_to(grads)
     flat_b = treedef.flatten_up_to(state.momentum_buf)
-    out = [leaf(p, g, b) for p, g, b in zip(flat_p, flat_g, flat_b)]
+    flat_w = (
+        treedef.flatten_up_to(wd_mask)
+        if wd_mask is not None
+        else [jnp.float32(1.0)] * len(flat_p)
+    )
+    out = [leaf(p, g, b, wl) for p, g, b, wl in zip(flat_p, flat_g, flat_b, flat_w)]
     new_params = treedef.unflatten([o[0] for o in out])
     new_buf = treedef.unflatten([o[1] for o in out])
     return new_params, SGDState(momentum_buf=new_buf, step=state.step + 1)

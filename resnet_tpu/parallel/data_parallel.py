@@ -14,16 +14,12 @@ it normalizes over); running stats are averaged across devices when merged.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from ..config import TrainConfig
-from ..models import forward
-from ..ops import cross_entropy, top1_accuracy
 
 
 def make_shard_map_train_step(cfg: TrainConfig, mesh: Mesh, donate: bool = True):

@@ -17,7 +17,6 @@ import argparse
 from ..config import (
     DataConfig,
     ExecutionConfig,
-    ModelConfig,
     OptimizerConfig,
     ParallelConfig,
     TrainConfig,
@@ -49,6 +48,8 @@ def build_config(argv=None) -> tuple:
     ap.add_argument("--optimizer", default="adam", choices=["adam", "sgd"])
     ap.add_argument("--lr", type=float, default=1e-4)  # resnet.cu:3286
     ap.add_argument("--weight-decay", type=float, default=0.0)
+    ap.add_argument("--wd-mask", default="all", choices=["all", "no_bn"])
+    ap.add_argument("--label-smoothing", type=float, default=0.0)
     ap.add_argument("--schedule", default="constant",
                     choices=["constant", "cosine", "step"])
     ap.add_argument("--warmup-steps", type=int, default=0)
@@ -93,6 +94,8 @@ def build_config(argv=None) -> tuple:
             name=args.optimizer,
             learning_rate=args.lr,
             weight_decay=args.weight_decay,
+            wd_mask=args.wd_mask,
+            label_smoothing=args.label_smoothing,
             schedule=args.schedule,
             warmup_steps=args.warmup_steps,
             total_steps=total_steps,

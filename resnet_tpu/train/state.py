@@ -17,7 +17,6 @@ import jax.numpy as jnp
 from ..config import TrainConfig
 from ..models import init_bn_state, init_params
 from ..optim import adam_init, sgd_init
-from ..optim.sgd import SGDState
 
 
 class TrainState(NamedTuple):

@@ -19,7 +19,7 @@ variant lives in parallel/data_parallel.py.
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
@@ -36,7 +36,10 @@ def _loss_fn(params, batch, bn_state, cfg: TrainConfig):
     logits, aux = forward(
         params, images, cfg.model, cfg.execution, train=True, bn_state=bn_state
     )
-    loss = cross_entropy(logits, labels, reduction="sum")
+    loss = cross_entropy(
+        logits, labels, reduction="sum",
+        label_smoothing=cfg.optimizer.label_smoothing,
+    )
     return loss, (logits, aux)
 
 
@@ -59,6 +62,22 @@ def _merge_running_stats(bn_state, bn_stats, momentum: float):
         ],
     }
     return new_state
+
+
+def _wd_mask_tree(params, mode: str):
+    """Per-leaf weight-decay multiplier. 'no_bn' zeroes decay on BN
+    gamma/beta and biases (Goyal et al. 2017 recipe)."""
+    if mode == "all":
+        return None
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    out = []
+    for path, leaf in flat:
+        keys = "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+        decayed = not any(t in keys for t in ("gamma", "beta", "/b"))
+        out.append(jnp.float32(1.0 if decayed else 0.0))
+    return jax.tree_util.tree_unflatten(
+        jax.tree_util.tree_structure(params), out
+    )
 
 
 def _apply_optimizer(grads, state: TrainState, cfg: TrainConfig):
@@ -91,6 +110,7 @@ def _apply_optimizer(grads, state: TrainState, cfg: TrainConfig):
             beta2=ocfg.beta2,
             eps=ocfg.eps,
             nonfinite_guard=ocfg.nonfinite_guard,
+            wd_mask=_wd_mask_tree(state.params, ocfg.wd_mask),
         )
     elif ocfg.name == "sgd":
         new_params, new_opt = sgd_update(
@@ -100,6 +120,7 @@ def _apply_optimizer(grads, state: TrainState, cfg: TrainConfig):
             learning_rate=lr,
             momentum=ocfg.momentum,
             weight_decay=ocfg.weight_decay,
+            wd_mask=_wd_mask_tree(state.params, ocfg.wd_mask),
         )
     else:
         raise ValueError(f"unknown optimizer {ocfg.name!r}")

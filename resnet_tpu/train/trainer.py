@@ -18,15 +18,12 @@ resume from cfg.resume_from (LOAD_FROM_DUMP_ID, resnet.cu:3299-3304).
 
 from __future__ import annotations
 
-import os
 from typing import Any, Dict, Iterator, Optional
 
 import jax
-import numpy as np
 
 from ..config import TrainConfig
 from ..data import (
-    DevicePrefetcher,
     ShardCursor,
     ShardDataset,
     ShardIterator,
@@ -36,7 +33,7 @@ from ..data import (
 from ..parallel import make_mesh, make_shard_map_train_step, replicate
 from ..utils import MetricsLogger, check_state_finite, nonfinite_report
 from .checkpoint import FINAL_DUMP_ID, NAN_DUMP_ID, restore_checkpoint, save_checkpoint
-from .state import TrainState, init_train_state
+from .state import init_train_state
 from .step import make_eval_step, make_train_step
 
 

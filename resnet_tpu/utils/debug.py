@@ -10,7 +10,7 @@ report only produced after a trip.
 
 from __future__ import annotations
 
-from typing import Dict, List
+from typing import List
 
 import jax
 import jax.numpy as jnp

@@ -131,3 +131,57 @@ def test_adam_inside_jit_with_schedule():
         params, state = step(params, state, jnp.full((16,), 0.1, jnp.float32))
     assert int(state.step) == 3
     assert np.all(np.isfinite(np.asarray(params["w"])))
+
+
+def test_wd_mask_exempts_bn_params(rng):
+    """wd_mask='no_bn' must zero weight decay on gamma/beta but not convs."""
+    import jax
+    from resnet_tpu.config import DataConfig, OptimizerConfig, TrainConfig, tiny_model_config
+    from resnet_tpu.train import init_train_state
+    from resnet_tpu.train.step import _wd_mask_tree
+
+    cfg = TrainConfig(
+        model=tiny_model_config(),
+        optimizer=OptimizerConfig(weight_decay=1e-2, wd_mask="no_bn"),
+        data=DataConfig(batch_size=4),
+    )
+    state = init_train_state(cfg)
+    mask = _wd_mask_tree(state.params, "no_bn")
+    flat = jax.tree_util.tree_flatten_with_path(mask)[0]
+    for path, leaf in flat:
+        keys = "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+        if "gamma" in keys or "beta" in keys:
+            assert float(leaf) == 0.0, keys
+        elif keys.endswith("/w"):
+            assert float(leaf) == 1.0, keys
+
+    # zero-grad step: with decay-masked params, gamma must NOT shrink
+    g = jax.tree.map(jnp.zeros_like, state.params)
+    new_p, _ = adam_update(
+        g, adam_init(state.params), state.params,
+        learning_rate=1e-2, weight_decay=1e-2,
+        wd_mask=mask,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(new_p["init_bn"]["gamma"]),
+        np.asarray(state.params["init_bn"]["gamma"]),
+    )
+    # conv weights DO shrink
+    assert not np.allclose(
+        np.asarray(new_p["init_conv"]["w"]), np.asarray(state.params["init_conv"]["w"])
+    )
+
+
+def test_label_smoothing():
+    from resnet_tpu.ops import cross_entropy
+
+    logits = jnp.asarray([[2.0, 0.0, -1.0]], jnp.float32)
+    labels = jnp.asarray([0])
+    plain = float(cross_entropy(logits, labels, reduction="mean"))
+    smooth = float(cross_entropy(logits, labels, reduction="mean", label_smoothing=0.1))
+    assert smooth > plain  # smoothing adds entropy against confident logits
+    # a=1 -> pure uniform target
+    uniform = float(cross_entropy(logits, labels, reduction="mean", label_smoothing=1.0))
+    import numpy as _np
+    logp = np.asarray(jax.nn.log_softmax(logits))[0]
+    assert uniform == pytest.approx(float(-logp.mean()), rel=1e-5)
