@@ -125,13 +125,8 @@ def batch_norm(
     shift = (
         beta.astype(stat_dtype) - gamma.astype(stat_dtype) * mean * inv_std
     ).reshape(shape)
-    # apply the affine in the COMPUTE dtype: scale/shift are per-channel
-    # fp32 scalars folded down once, while the big tensor never upcasts.
-    # Computing y in fp32 (the obvious-looking choice) drags the entire
-    # backward chain into fp32 — measured 124GB of convert traffic and
-    # 411GB of fp32 buffers in the optimized step HLO.
-    y = x * scale.astype(x.dtype) + shift.astype(x.dtype)
-    return y, (mean, var)
+    y = x.astype(stat_dtype) * scale + shift
+    return y.astype(x.dtype), (mean, var)
 
 
 def batch_norm_inference(
