@@ -272,6 +272,67 @@ PRESETS = {
 }
 
 
+# The reference's six binaries as config presets (SURVEY.md section 0 table):
+# each maps a .cu variant's engineering point onto our config axes.
+VARIANT_PRESETS = {
+    # resnet.cu: hand-rolled kernels, cache-everything, batch 32, lr 1e-4
+    "resnet": dict(
+        execution=dict(kernels="pallas", remat="none"),
+        optimizer=dict(learning_rate=1e-4),
+        data=dict(batch_size=32),
+    ),
+    # resnet_clean.cu: recompute-in-backward memory strategy, batch 224
+    "clean": dict(
+        execution=dict(kernels="pallas", remat="block"),
+        optimizer=dict(learning_rate=1e-4),
+        data=dict(batch_size=224),
+    ),
+    # resnet_cudnn.cu: library kernels, NHWC, batch 64, lr 1e-3
+    "cudnn": dict(
+        execution=dict(kernels="xla", layout="NHWC"),
+        optimizer=dict(learning_rate=1e-3),
+        data=dict(batch_size=64),
+    ),
+    # resnet_cudnn_lowmem.cu: library kernels + lean backward, batch 192
+    "lowmem": dict(
+        execution=dict(kernels="xla", remat="block"),
+        optimizer=dict(learning_rate=1e-3),
+        data=dict(batch_size=192),
+    ),
+    # resnet_cudnn_nchw.cu: NCHW layout + autotune, batch 192
+    "nchw": dict(
+        execution=dict(kernels="xla", layout="NCHW"),
+        optimizer=dict(learning_rate=1e-3),
+        data=dict(batch_size=192, layout="NCHW"),
+    ),
+    # resnet_cudnn_fast.cu: TensorCore math + fused lib ops + relu cap 10
+    "fast": dict(
+        execution=dict(
+            kernels="xla", compute_dtype="bfloat16",
+            matmul_precision="default", relu_cap=10.0,
+        ),
+        optimizer=dict(learning_rate=1e-3),
+        data=dict(batch_size=192),
+    ),
+}
+
+
+def variant_config(variant: str, model: str = "resnet50", **overrides) -> "TrainConfig":
+    """Build a TrainConfig reproducing one of the reference's six trainer
+    variants (SURVEY.md section 0). overrides update top-level TrainConfig
+    fields."""
+    if variant not in VARIANT_PRESETS:
+        raise ValueError(f"unknown variant {variant!r}; have {sorted(VARIANT_PRESETS)}")
+    p = VARIANT_PRESETS[variant]
+    cfg = TrainConfig(
+        model=model_config(model),
+        execution=ExecutionConfig(**p.get("execution", {})),
+        optimizer=OptimizerConfig(**p.get("optimizer", {})),
+        data=DataConfig(**p.get("data", {})),
+    )
+    return dataclasses.replace(cfg, **overrides) if overrides else cfg
+
+
 def model_config(name: str = "resnet50", **overrides) -> ModelConfig:
     if name not in PRESETS:
         raise ValueError(f"unknown model {name!r}; have {sorted(PRESETS)}")

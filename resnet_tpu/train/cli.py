@@ -22,6 +22,7 @@ from ..config import (
     TrainConfig,
     model_config,
     tiny_model_config,
+    variant_config,
 )
 
 
@@ -30,6 +31,11 @@ def build_config(argv=None) -> tuple:
     ap.add_argument("--model", default="resnet50",
                     choices=["resnet18", "resnet34", "resnet50", "resnet101",
                              "resnet152", "tiny"])
+    ap.add_argument("--variant", default="",
+                    choices=["", "resnet", "clean", "cudnn", "lowmem", "nchw", "fast"],
+                    help="reproduce one of the reference's six trainer"
+                         " variants (overrides kernels/layout/dtype/remat/"
+                         "batch/lr)")
     ap.add_argument("--batch-size", type=int, default=32)  # resnet.cu:3279
     ap.add_argument("--epochs", type=int, default=40)  # resnet.cu:3291
     ap.add_argument("--steps", type=int, default=0,
@@ -69,6 +75,31 @@ def build_config(argv=None) -> tuple:
     ap.add_argument("--eval-batches", type=int, default=0,
                     help="0 = one full pass over the shards")
     args = ap.parse_args(argv)
+
+    if args.variant:
+        cfg = variant_config(
+            args.variant,
+            model=args.model if args.model != "tiny" else "resnet50",
+            seed=args.seed,
+            epochs=args.epochs,
+            checkpoint_every=args.checkpoint_every,
+            checkpoint_dir=args.checkpoint_dir,
+            log_every=args.log_every,
+            resume_from=args.resume_from,
+            check_errors=args.check_errors,
+        )
+        import dataclasses as _dc
+
+        cfg = _dc.replace(
+            cfg,
+            data=_dc.replace(
+                cfg.data,
+                shard_dir=args.shard_dir,
+                jpeg_dir=args.jpeg_dir,
+                synthetic=args.synthetic or not (args.shard_dir or args.jpeg_dir),
+            ),
+        )
+        return cfg, args
 
     if args.model == "tiny":
         mcfg = tiny_model_config()

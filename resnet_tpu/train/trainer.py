@@ -75,7 +75,10 @@ class Trainer:
         self.eval_step = make_eval_step(cfg, self.mesh)
 
         self._host_iter = data_source or self._build_data()
-        self.logger = MetricsLogger(cfg.checkpoint_dir, print_every=cfg.log_every)
+        self.logger = MetricsLogger(
+            cfg.checkpoint_dir, print_every=cfg.log_every,
+            batch_size=cfg.data.batch_size,
+        )
 
     def _build_data(self):
         dcfg = self.cfg.data

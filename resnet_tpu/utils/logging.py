@@ -15,9 +15,12 @@ from typing import Dict, Optional
 
 
 class MetricsLogger:
-    def __init__(self, log_dir: Optional[str] = None, print_every: int = 1):
+    def __init__(self, log_dir: Optional[str] = None, print_every: int = 1,
+                 batch_size: int = 0):
         self.log_dir = log_dir
         self.print_every = print_every
+        self.batch_size = batch_size
+        self._last_ts: Optional[float] = None
         self.loss_history = []
         self.acc_history = []
         self._loss_f = self._jsonl_f = None
@@ -35,8 +38,15 @@ class MetricsLogger:
         if self._loss_f:
             self._loss_f.write(f"{loss}\n")
             self._loss_f.flush()  # resnet.cu:3389
+        now = time.time()
+        if self._last_ts is not None and self.batch_size:
+            dt = now - self._last_ts
+            if dt > 0:
+                metrics = dict(metrics)
+                metrics["images_per_sec"] = self.batch_size / dt
+        self._last_ts = now
         if self._jsonl_f:
-            rec = {"step": step, "epoch": epoch, "ts": time.time()}
+            rec = {"step": step, "epoch": epoch, "ts": now}
             rec.update({k: float(v) for k, v in metrics.items()})
             self._jsonl_f.write(json.dumps(rec) + "\n")
             self._jsonl_f.flush()

@@ -50,3 +50,30 @@ def test_cli_trains_and_evaluates(tmp_path, capsys):
     ])
     out = capsys.readouterr().out
     assert "eval over 2 batches" in out
+
+
+def test_variant_presets():
+    """The reference's six binaries map onto config presets (SURVEY.md §0)."""
+    from resnet_tpu.config import variant_config
+
+    fast = variant_config("fast")
+    assert fast.execution.compute_dtype == "bfloat16"
+    assert fast.execution.relu_cap == 10.0  # resnet_cudnn_fast.cu:1143
+    assert fast.data.batch_size == 192  # resnet_cudnn_fast.cu:3278
+    assert fast.optimizer.learning_rate == pytest.approx(1e-3)
+
+    naive = variant_config("resnet")
+    assert naive.execution.kernels == "pallas"
+    assert naive.data.batch_size == 32  # resnet.cu:3279
+    assert naive.optimizer.learning_rate == pytest.approx(1e-4)
+
+    clean = variant_config("clean")
+    assert clean.execution.remat == "block"
+    assert clean.data.batch_size == 224  # resnet_clean.cu:3786
+
+    nchw = variant_config("nchw")
+    assert nchw.execution.layout == "NCHW"
+
+    cfg, _ = build_config(["--variant", "fast", "--synthetic", "--steps", "1"])
+    assert cfg.execution.compute_dtype == "bfloat16"
+    assert cfg.data.synthetic
