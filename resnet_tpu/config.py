@@ -142,6 +142,10 @@ class ExecutionConfig:
     stable_softmax: bool = True
     # MXU precision for fp32 convs/matmuls ('default'|'high'|'highest').
     matmul_precision: str = "highest"
+    # Space-to-depth stem (MLPerf trick): fold 2x2 spatial into channels so
+    # the 7x7/s2/3ch stem becomes 4x4/s1/12ch — same math, far better MXU
+    # lane utilization. NHWC + 7x7 stem only.
+    space_to_depth: bool = False
     # Clipped ReLU ceiling (the cuDNN-fast variant caps activations at 10,
     # resnet_cudnn_fast.cu:1143-1145). None = unbounded ReLU.
     relu_cap: Optional[float] = None

@@ -190,7 +190,23 @@ def forward(
 
     engine = ecfg.kernels
     interp = ecfg.resolve_interpret() if engine == "pallas" else False
-    out = _conv(x, params["init_conv"]["w"], stride=mcfg.init_stride, ecfg=ecfg)
+    use_s2d = (
+        ecfg.space_to_depth
+        and layout == "NHWC"
+        and mcfg.init_kernel == 7
+        and mcfg.init_stride == 2
+        and x.shape[1] % 2 == 0
+        and x.shape[2] % 2 == 0
+    )
+    if use_s2d:
+        from ..ops.conv import _PRECISION
+        from ..ops.space_to_depth import s2d_stem_conv
+
+        out = s2d_stem_conv(
+            x, params["init_conv"]["w"], precision=_PRECISION[prec]
+        )
+    else:
+        out = _conv(x, params["init_conv"]["w"], stride=mcfg.init_stride, ecfg=ecfg)
     if tape is not None:
         tape["init_conv_applied"] = out
     out, stats["init_bn"] = _bn_apply(

@@ -50,7 +50,9 @@ def build_config(argv=None) -> tuple:
     ap.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
     ap.add_argument("--kernels", default="xla", choices=["xla", "pallas", "fused"])
     ap.add_argument("--conv-kernels", default="xla", choices=["xla", "pallas"])
-    ap.add_argument("--remat", default="none", choices=["none", "block"])
+    ap.add_argument("--remat", default="none", choices=["none", "block", "stage"])
+    ap.add_argument("--space-to-depth", action="store_true",
+                    help="MLPerf s2d stem (7x7s2 -> 4x4s1 on folded input)")
     ap.add_argument("--optimizer", default="adam", choices=["adam", "sgd"])
     ap.add_argument("--lr", type=float, default=1e-4)  # resnet.cu:3286
     ap.add_argument("--weight-decay", type=float, default=0.0)
@@ -120,6 +122,7 @@ def build_config(argv=None) -> tuple:
             compute_dtype=args.dtype,
             matmul_precision="default" if args.dtype == "bfloat16" else "highest",
             remat=args.remat,
+            space_to_depth=args.space_to_depth,
         ),
         optimizer=OptimizerConfig(
             name=args.optimizer,

@@ -155,3 +155,29 @@ def test_bf16_compute_close_to_fp32(rng):
     lb, _ = forward(params, x, cfg, ExecutionConfig(compute_dtype="bfloat16"))
     assert lb.dtype == jnp.float32  # logits always fp32
     np.testing.assert_allclose(np.asarray(lf), np.asarray(lb), rtol=0.1, atol=0.15)
+
+
+def test_space_to_depth_stem_parity(rng):
+    """s2d stem (MLPerf trick) must match the standard stem end-to-end."""
+    import jax
+    import jax.numpy as jnp
+
+    from resnet_tpu.config import ExecutionConfig, tiny_model_config
+    from resnet_tpu.models import forward, init_params
+
+    mcfg = tiny_model_config(init_kernel=7)  # 7x7 stem at 16px
+    params = init_params(jax.random.PRNGKey(0), mcfg)
+    x = jnp.asarray(rng.normal(0, 50, (2, 16, 16, 3)).astype(np.float32))
+    l0, _ = forward(params, x, mcfg, ExecutionConfig())
+    l1, _ = forward(params, x, mcfg, ExecutionConfig(space_to_depth=True))
+    np.testing.assert_allclose(np.asarray(l0), np.asarray(l1), rtol=1e-4, atol=1e-5)
+
+    # gradients too
+    def loss(p, e):
+        y, _ = forward(p, x, mcfg, e)
+        return jnp.sum(y**2)
+
+    g0 = jax.grad(loss)(params, ExecutionConfig())
+    g1 = jax.grad(loss)(params, ExecutionConfig(space_to_depth=True))
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4)
