@@ -265,3 +265,27 @@ def test_stage_remat_matches(rng):
     assert float(m1["loss"]) == pytest.approx(float(m2["loss"]), rel=1e-6)
     for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
+
+
+def test_bf16_training_reduces_loss(rng):
+    """The 'fast' precision policy (bf16 compute, fp32 params/stats) must
+    train: loss falls and stays finite."""
+    cfg = tiny_cfg(
+        execution=ExecutionConfig(
+            compute_dtype="bfloat16", matmul_precision="default"
+        ),
+        optimizer=OptimizerConfig(learning_rate=1e-3),
+    )
+    state = init_train_state(cfg)
+    step = make_train_step(cfg, donate=False)
+    batch = make_batch(rng, cfg)
+    losses = []
+    for _ in range(20):
+        state, m = step(state, batch)
+        losses.append(float(m["loss"]))
+    assert np.all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
+    # params remain fp32 master copies
+    assert all(
+        np.asarray(p).dtype == np.float32 for p in jax.tree.leaves(state.params)
+    )
