@@ -84,7 +84,9 @@ def _apply_optimizer(grads, state: TrainState, cfg: TrainConfig):
     ocfg = cfg.optimizer
     schedule = make_schedule(ocfg)
     lr = schedule(state.opt_state.step)
-    if ocfg.name == "adam" and ocfg.fused:
+    if ocfg.name == "adam" and ocfg.fused and ocfg.wd_mask == "all":
+        # the flat fused kernel has no per-leaf wd mask; masked configs
+        # fall through to the pytree path below
         from ..optim.adam import adam_update_fused
 
         new_params, new_opt = adam_update_fused(

@@ -165,9 +165,12 @@ class Trainer:
         it = self._device_iter()
         pending = None  # (step, metrics) logged one step behind
         last: Dict[str, Any] = {}
+        # host-side step mirror: fetching state.step from the device every
+        # iteration would force a sync and defeat the async dispatch
+        # pipeline (one fetch here, then counted locally)
+        step_before = int(jax.device_get(self.state.step))
         for _ in range(num_steps):
             batch = next(it)
-            step_before = int(jax.device_get(self.state.step))
             if (
                 cfg.checkpoint_every
                 and step_before % cfg.checkpoint_every == 0
@@ -184,6 +187,7 @@ class Trainer:
                 s, m = pending
                 self.logger.log_step(s, jax.device_get(m), epoch=self.cursor.epoch)
             pending = (step_before, metrics)
+            step_before += 1
             self._maybe_check_errors()
         if pending is not None:
             s, m = pending
