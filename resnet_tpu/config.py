@@ -208,6 +208,9 @@ class DataConfig:
     layout: str = "NHWC"  # on-disk shard layout; 'NCHW' ~ fast variant shards
     num_shards: int = 40
     prefetch: int = 2  # device-side double buffering depth
+    # dtype for the host->device image transfer. 'bfloat16' halves the
+    # PCIe/interconnect traffic; the model casts to compute_dtype anyway.
+    transfer_dtype: str = "float32"  # 'float32' | 'bfloat16'
     synthetic: bool = False  # generate random batches (bench/test mode)
     # ImageFolder tree of raw JPEGs (online decode/augment pipeline);
     # overrides shard_dir when set.
@@ -244,6 +247,10 @@ class TrainConfig:
     checkpoint_dir: str = "training_dumps/my_custom"
     log_every: int = 1  # PRINT_FREQ (resnet.cu:3318)
     resume_from: int = -1  # LOAD_FROM_DUMP_ID (resnet.cu:3299)
+    # Fetch + record metrics every step (avg_loss_log.txt semantics,
+    # resnet.cu:3386-3389). Each fetch is a host sync; disable on remote/
+    # tunneled devices where round-trips are expensive.
+    record_metrics: bool = True
     # Per-step NaN/Inf scan of all trainer state (~ check_errors,
     # resnet.cu:2879-2907). Expensive; off by default outside debugging.
     check_errors: bool = False

@@ -19,10 +19,14 @@ import jax
 
 
 class DevicePrefetcher:
-    def __init__(self, source: Iterator, *, depth: int = 2, sharding=None):
+    def __init__(self, source: Iterator, *, depth: int = 2, sharding=None,
+                 transfer_dtype=None):
         self.source = source
         self.depth = depth
         self.sharding = sharding
+        # cast images host-side before the transfer (bf16 halves the
+        # host->device traffic; the model casts to compute dtype anyway)
+        self.transfer_dtype = transfer_dtype
         self._q: queue.Queue = queue.Queue(maxsize=depth)
         self._done = object()
         self._err: Optional[BaseException] = None
@@ -30,6 +34,14 @@ class DevicePrefetcher:
         self._thread.start()
 
     def _put(self, batch):
+        if self.transfer_dtype is not None and "images" in batch:
+            import jax.numpy as jnp
+            import numpy as np
+
+            batch = dict(batch)
+            batch["images"] = np.asarray(batch["images"]).astype(
+                jnp.dtype(self.transfer_dtype)
+            )
         if self.sharding is not None:
             return {
                 k: jax.device_put(
@@ -63,7 +75,8 @@ class DevicePrefetcher:
         return item
 
 
-def prefetch_to_device(source, *, depth: int = 2, mesh=None, data_axis: str = "data"):
+def prefetch_to_device(source, *, depth: int = 2, mesh=None,
+                       data_axis: str = "data", transfer_dtype=None):
     """Wrap a host batch iterator in a device prefetcher; with a mesh the
     batch is sharded along the data axis."""
     sharding = None
@@ -71,4 +84,6 @@ def prefetch_to_device(source, *, depth: int = 2, mesh=None, data_axis: str = "d
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         sharding = NamedSharding(mesh, P(data_axis))
-    return DevicePrefetcher(source, depth=depth, sharding=sharding)
+    return DevicePrefetcher(
+        source, depth=depth, sharding=sharding, transfer_dtype=transfer_dtype
+    )

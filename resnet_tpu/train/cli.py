@@ -51,6 +51,10 @@ def build_config(argv=None) -> tuple:
     ap.add_argument("--kernels", default="xla", choices=["xla", "pallas", "fused"])
     ap.add_argument("--conv-kernels", default="xla", choices=["xla", "pallas"])
     ap.add_argument("--remat", default="none", choices=["none", "block", "stage"])
+    ap.add_argument("--transfer-dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="host->device image transfer dtype (bfloat16"
+                         " halves input traffic)")
     ap.add_argument("--space-to-depth", action="store_true",
                     help="MLPerf s2d stem (7x7s2 -> 4x4s1 on folded input)")
     ap.add_argument("--optimizer", default="adam", choices=["adam", "sgd"])
@@ -66,6 +70,9 @@ def build_config(argv=None) -> tuple:
     ap.add_argument("--resume-from", type=int, default=-1)  # LOAD_FROM_DUMP_ID
     ap.add_argument("--log-every", type=int, default=1)
     ap.add_argument("--check-errors", action="store_true")
+    ap.add_argument("--no-record-metrics", action="store_true",
+                    help="skip per-step metric fetch (each is a host sync;"
+                         " useful on remote/tunneled devices)")
     ap.add_argument("--seed", type=int, default=1234)  # resnet.cu:3266
     ap.add_argument("--num-devices", type=int, default=0)
     ap.add_argument("--parallel-mode", default="auto", choices=["auto", "shard_map"])
@@ -139,6 +146,7 @@ def build_config(argv=None) -> tuple:
             jpeg_dir=args.jpeg_dir,
             batch_size=args.batch_size,
             layout=args.shard_layout,
+            transfer_dtype=args.transfer_dtype,
             random_flip=args.random_flip,
             synthetic=args.synthetic or not (args.shard_dir or args.jpeg_dir),
         ),
@@ -151,6 +159,7 @@ def build_config(argv=None) -> tuple:
         checkpoint_dir=args.checkpoint_dir,
         log_every=args.log_every,
         resume_from=args.resume_from,
+        record_metrics=not args.no_record_metrics,
         check_errors=args.check_errors,
     )
     return cfg, args

@@ -138,11 +138,16 @@ class Trainer:
         )
 
     def _device_iter(self):
+        dcfg = self.cfg.data
+        transfer = (
+            dcfg.transfer_dtype if dcfg.transfer_dtype != "float32" else None
+        )
         return prefetch_to_device(
             self._host_iter,
-            depth=self.cfg.data.prefetch,
+            depth=dcfg.prefetch,
             mesh=self.mesh,
             data_axis=self.cfg.parallel.data_axis,
+            transfer_dtype=transfer,
         )
 
     def _maybe_check_errors(self):
@@ -183,7 +188,9 @@ class Trainer:
                     metadata={"loss_history": self.logger.loss_history[-100:]},
                 )
             self.state, metrics = self.train_step(self.state, batch)
-            if pending is not None:
+            if pending is not None and cfg.record_metrics:
+                # only fetch metrics when logging is on — each device_get is
+                # a host sync (expensive over remote/tunneled devices)
                 s, m = pending
                 self.logger.log_step(s, jax.device_get(m), epoch=self.cursor.epoch)
             pending = (step_before, metrics)
