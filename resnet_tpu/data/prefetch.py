@@ -30,6 +30,7 @@ class DevicePrefetcher:
         self._q: queue.Queue = queue.Queue(maxsize=depth)
         self._done = object()
         self._err: Optional[BaseException] = None
+        self._stop = False
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
 
@@ -57,11 +58,28 @@ class DevicePrefetcher:
     def _worker(self):
         try:
             for batch in self.source:
+                if self._stop:
+                    return
                 self._q.put(self._put(batch))
+                if self._stop:
+                    return
         except BaseException as e:  # surfaced on the consumer thread
             self._err = e
         finally:
-            self._q.put(self._done)
+            if not self._stop:
+                self._q.put(self._done)
+
+    def stop(self):
+        """Shut the worker down cleanly. A daemon thread mid-device_put at
+        interpreter exit aborts the process (pthread 'exception not
+        rethrown'), so the owner must stop the pipeline before exiting."""
+        self._stop = True
+        while self._thread.is_alive():
+            try:
+                self._q.get_nowait()  # unblock a worker stuck in put()
+            except queue.Empty:
+                pass
+            self._thread.join(timeout=0.2)
 
     def __iter__(self):
         return self

@@ -75,6 +75,7 @@ class Trainer:
         self.eval_step = make_eval_step(cfg, self.mesh)
 
         self._host_iter = data_source or self._build_data()
+        self._dev_iter = None  # built lazily, shared across run() calls
         self.logger = MetricsLogger(
             cfg.checkpoint_dir, print_every=cfg.log_every,
             batch_size=cfg.data.batch_size,
@@ -138,17 +139,22 @@ class Trainer:
         )
 
     def _device_iter(self):
+        # one persistent prefetcher: building a new one per run() would
+        # leak worker threads that keep consuming the host iterator
+        if self._dev_iter is not None:
+            return self._dev_iter
         dcfg = self.cfg.data
         transfer = (
             dcfg.transfer_dtype if dcfg.transfer_dtype != "float32" else None
         )
-        return prefetch_to_device(
+        self._dev_iter = prefetch_to_device(
             self._host_iter,
             depth=dcfg.prefetch,
             mesh=self.mesh,
             data_axis=self.cfg.parallel.data_axis,
             transfer_dtype=transfer,
         )
+        return self._dev_iter
 
     def _maybe_check_errors(self):
         if not self.cfg.check_errors:
@@ -230,8 +236,18 @@ class Trainer:
         return {k: v / num_batches for k, v in sums.items()}
 
     def finalize(self):
+        if self._dev_iter is not None:
+            self._dev_iter.stop()
+            self._dev_iter = None
         if self.cfg.checkpoint_dir:
             save_checkpoint(
                 self.cfg.checkpoint_dir, FINAL_DUMP_ID, self.state, self.cursor
             )
         self.logger.close()
+
+    def __del__(self):
+        try:
+            if getattr(self, "_dev_iter", None) is not None:
+                self._dev_iter.stop()
+        except Exception:
+            pass

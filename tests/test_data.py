@@ -149,3 +149,14 @@ def test_jpeg_pipeline(tmp_path, rng):
     ev2 = JpegDataset(str(root), batch_size=2, out_dim=16, train=False)
     a2 = next(ev2)["images"]
     np.testing.assert_array_equal(a1, a2)
+
+
+def test_prefetcher_stop(shard_dir):
+    """stop() joins the worker cleanly even when it's blocked on a full
+    queue (a daemon thread mid-device_put at exit aborts the process)."""
+    ds = make_dataset(shard_dir)
+    it = ShardIterator(ds, batch_size=4)  # infinite (wraps epochs)
+    pre = DevicePrefetcher(it, depth=2)
+    next(pre)
+    pre.stop()
+    assert not pre._thread.is_alive()
