@@ -1,9 +1,10 @@
-from .debug import check_state_finite, nonfinite_report
+from .debug import check_state_finite, debug_print_tensor, nonfinite_report
 from .logging import MetricsLogger
 from .profiling import trace_context
 
 __all__ = [
     "check_state_finite",
+    "debug_print_tensor",
     "nonfinite_report",
     "MetricsLogger",
     "trace_context",

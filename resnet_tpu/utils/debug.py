@@ -10,11 +10,32 @@ report only produced after a trip.
 
 from __future__ import annotations
 
+import os
 from typing import List
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# gate for debug_print_tensor — the TO_PRINT compile-time flag equivalent
+# (resnet.cu:27); enable with RESNET_TPU_DEBUG_PRINT=1
+DEBUG_PRINT = os.environ.get("RESNET_TPU_DEBUG_PRINT", "") not in ("", "0")
+
+
+def debug_print_tensor(name: str, x, n: int = 8):
+    """In-graph tensor tracer (printDeviceData equivalent, resnet.cu:1511):
+    prints shape, range, and the first n elements from inside jit. No-op
+    unless RESNET_TPU_DEBUG_PRINT is set, so call sites can stay in code."""
+    if not DEBUG_PRINT:
+        return
+    flat = x.reshape(-1)
+    jax.debug.print(
+        name + " shape={s} min={mn} max={mx} head={h}",
+        s=str(x.shape),
+        mn=jnp.min(flat),
+        mx=jnp.max(flat),
+        h=flat[: min(n, flat.shape[0])],
+    )
 
 
 @jax.jit

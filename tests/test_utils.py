@@ -84,3 +84,16 @@ def test_trainer_nan_sentinel(tmp_path, rng):
     with pytest.raises(NonFiniteError):
         trainer.run(2)
     assert os.path.isdir(tmp_path / "dumps" / "99999999")
+
+
+def test_debug_print_tensor(monkeypatch, capfd):
+    """printDeviceData equivalent: no-op unless the env gate is set."""
+    import resnet_tpu.utils.debug as dbg
+
+    x = jnp.arange(6.0).reshape(2, 3)
+    monkeypatch.setattr(dbg, "DEBUG_PRINT", False)
+    dbg.debug_print_tensor("quiet", x)  # no-op
+    monkeypatch.setattr(dbg, "DEBUG_PRINT", True)
+    jax.jit(lambda x: (dbg.debug_print_tensor("loud", x), x * 2)[1])(x).block_until_ready()
+    out = capfd.readouterr().out + capfd.readouterr().err
+    assert "loud" in out
