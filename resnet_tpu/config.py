@@ -135,7 +135,10 @@ class ExecutionConfig:
     #   'block' recompute within residual blocks (~ resnet_clean.cu /
     #           lowmem's rotating scratch, batch 224/192)
     #   'stage' recompute whole stages — the most aggressive
-    remat: str = "none"  # 'none' | 'block' | 'stage'
+    #   'elementwise' save conv/matmul outputs, recompute only BN/ReLU/
+    #        joins in backward — exactly resnet_clean.cu's strategy (cache
+    #        conv results + stats, recompute activations, :2712-2753)
+    remat: str = "none"  # 'none' | 'block' | 'stage' | 'elementwise'
     # Use the reference's numerically-naive softmax (resnet.cu:569-580, no
     # max subtraction) for forward-dump fidelity; training always uses a
     # stable log-softmax for the loss.

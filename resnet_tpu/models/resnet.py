@@ -31,6 +31,15 @@ from ..ops import global_avg_pool, max_pool, softmax
 from ..ops.dispatch import bn_act, conv as _dispatch_conv, fc, residual_join
 
 
+def _save_convs_policy(prim, *_, **__):
+    """jax.checkpoint policy: conv/matmul outputs are saveable, everything
+    elementwise is recomputed in backward."""
+    return prim.name in ("conv_general_dilated", "dot_general")
+
+
+_SAVE_CONVS = _save_convs_policy
+
+
 def _conv(x, w, *, stride, ecfg):
     engine = ecfg.conv_kernels
     return _dispatch_conv(
@@ -242,6 +251,11 @@ def forward(
 
             if ecfg.remat == "block" and remat_on:
                 run_block = jax.checkpoint(run_block)
+            elif ecfg.remat == "elementwise" and remat_on:
+                # save conv outputs, recompute elementwise (BN apply, ReLU,
+                # joins) in backward — trades cheap VPU recompute for fewer
+                # residual reads (resnet_clean.cu's caching strategy)
+                run_block = jax.checkpoint(run_block, policy=_SAVE_CONVS)
             h, bstats = run_block(params["blocks"][i], h)
             stats_acc.append(bstats)
         return h, stats_acc

@@ -50,7 +50,7 @@ def build_config(argv=None) -> tuple:
     ap.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
     ap.add_argument("--kernels", default="xla", choices=["xla", "pallas", "fused"])
     ap.add_argument("--conv-kernels", default="xla", choices=["xla", "pallas"])
-    ap.add_argument("--remat", default="none", choices=["none", "block", "stage"])
+    ap.add_argument("--remat", default="none", choices=["none", "block", "stage", "elementwise"])
     ap.add_argument("--transfer-dtype", default="float32",
                     choices=["float32", "bfloat16"],
                     help="host->device image transfer dtype (bfloat16"
