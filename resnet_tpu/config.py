@@ -66,6 +66,9 @@ class ModelConfig:
     block_sizes: Tuple[int, ...] = (3, 4, 6, 3)
     bottleneck: bool = True
     expansion: int = 4
+    # interior-width multiplier for bottleneck blocks (wide-ResNet family;
+    # 2.0 = wide_resnet50_2). Output depths are unchanged.
+    width_multiplier: float = 1.0
 
     # Reference quirk: projection convs at stage transitions are 3x3/s2
     # (resnet.cu:770-797), not the standard 1x1/s2. Set to 1 for standard
@@ -283,6 +286,14 @@ PRESETS = {
     "resnet50": dict(block_sizes=(3, 4, 6, 3), bottleneck=True, expansion=4),
     "resnet101": dict(block_sizes=(3, 4, 23, 3), bottleneck=True, expansion=4),
     "resnet152": dict(block_sizes=(3, 8, 36, 3), bottleneck=True, expansion=4),
+    "wide_resnet50_2": dict(
+        block_sizes=(3, 4, 6, 3), bottleneck=True, expansion=4,
+        width_multiplier=2.0,
+    ),
+    "wide_resnet101_2": dict(
+        block_sizes=(3, 4, 23, 3), bottleneck=True, expansion=4,
+        width_multiplier=2.0,
+    ),
 }
 
 

@@ -70,8 +70,9 @@ def init_params(key: jax.Array, cfg: ModelConfig, dtype=jnp.float32) -> Dict[str
     incoming = cfg.init_filters
     for i in range(n_blocks):
         stage = cfg.stage_of_block(i)
-        width = cfg.init_filters * (2**stage)
-        out_ch = width * cfg.expansion if cfg.bottleneck else width
+        base = cfg.init_filters * (2**stage)
+        width = int(base * cfg.width_multiplier)
+        out_ch = base * cfg.expansion if cfg.bottleneck else width
         reduction = cfg.is_reduction_block(i)
         stride = 2 if reduction else 1
         block: Dict[str, Any] = {}
@@ -121,8 +122,9 @@ def init_bn_state(cfg: ModelConfig) -> Dict[str, Any]:
     incoming = cfg.init_filters
     for i in range(cfg.num_blocks):
         stage = cfg.stage_of_block(i)
-        width = cfg.init_filters * (2**stage)
-        out_ch = width * cfg.expansion if cfg.bottleneck else width
+        base = cfg.init_filters * (2**stage)
+        width = int(base * cfg.width_multiplier)
+        out_ch = base * cfg.expansion if cfg.bottleneck else width
         b: Dict[str, Any] = {}
         if cfg.bottleneck:
             b["bn_reduce"] = stat(width)

@@ -181,3 +181,27 @@ def test_space_to_depth_stem_parity(rng):
     g1 = jax.grad(loss)(params, ExecutionConfig(space_to_depth=True))
     for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4)
+
+
+def test_param_counts_match_torchvision():
+    """With standard 1x1 projections our models match torchvision's
+    parameter counts EXACTLY; the default keeps the reference's heavier
+    3x3 stage-transition projections (resnet.cu:770-797)."""
+    import jax
+
+    from resnet_tpu.config import model_config
+    from resnet_tpu.models import init_params, param_count
+
+    expected = {
+        "resnet18": 11_689_512,
+        "resnet50": 25_557_032,
+        "wide_resnet50_2": 68_883_240,
+    }
+    for name, want in expected.items():
+        m = model_config(name, input_dim=32, stride_projection_kernel=1)
+        got = param_count(init_params(jax.random.PRNGKey(0), m))
+        assert got == want, (name, got, want)
+
+    # the reference quirk is strictly additive (3x3 vs 1x1 projections)
+    m_ref = model_config("resnet50", input_dim=32)
+    assert param_count(init_params(jax.random.PRNGKey(0), m_ref)) > expected["resnet50"]
