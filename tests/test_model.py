@@ -198,7 +198,11 @@ def test_param_counts_match_torchvision():
         "wide_resnet50_2": 68_883_240,
     }
     for name, want in expected.items():
-        m = model_config(name, input_dim=32, stride_projection_kernel=1)
+        # fc_bias=True: torchvision's FC has a bias; the reference's does
+        # not (bare matmul, resnet.cu:1759), so ours defaults to none
+        m = model_config(
+            name, input_dim=32, stride_projection_kernel=1, fc_bias=True
+        )
         got = param_count(init_params(jax.random.PRNGKey(0), m))
         assert got == want, (name, got, want)
 
