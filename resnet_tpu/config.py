@@ -69,6 +69,8 @@ class ModelConfig:
     # interior-width multiplier for bottleneck blocks (wide-ResNet family;
     # 2.0 = wide_resnet50_2). Output depths are unchanged.
     width_multiplier: float = 1.0
+    # cardinality of the 3x3 conv (ResNeXt); 1 = plain ResNet.
+    groups: int = 1
 
     # Reference quirk: projection convs at stage transitions are 3x3/s2
     # (resnet.cu:770-797), not the standard 1x1/s2. Set to 1 for standard
@@ -293,6 +295,16 @@ PRESETS = {
     "wide_resnet101_2": dict(
         block_sizes=(3, 4, 23, 3), bottleneck=True, expansion=4,
         width_multiplier=2.0,
+    ),
+    # resnext50_32x4d: cardinality 32, width/group 4 -> interior width
+    # 128 at stage 0 = base 64 * 2.0
+    "resnext50_32x4d": dict(
+        block_sizes=(3, 4, 6, 3), bottleneck=True, expansion=4,
+        width_multiplier=2.0, groups=32,
+    ),
+    "resnext101_32x8d": dict(
+        block_sizes=(3, 4, 23, 3), bottleneck=True, expansion=4,
+        width_multiplier=4.0, groups=32,
     ),
 }
 

@@ -79,7 +79,9 @@ def init_params(key: jax.Array, cfg: ModelConfig, dtype=jnp.float32) -> Dict[str
         if cfg.bottleneck:
             block["reduce"] = {"w": _conv_init(next(keys), 1, 1, incoming, width, dtype)}
             block["bn_reduce"] = _bn_init(width, dtype)
-            block["spatial"] = {"w": _conv_init(next(keys), 3, 3, width, width, dtype)}
+            block["spatial"] = {
+                "w": _conv_init(next(keys), 3, 3, width // cfg.groups, width, dtype)
+            }
             block["bn_spatial"] = _bn_init(width, dtype)
             block["expand"] = {"w": _conv_init(next(keys), 1, 1, width, out_ch, dtype)}
             block["bn_expand"] = _bn_init(

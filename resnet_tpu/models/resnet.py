@@ -40,8 +40,16 @@ def _save_convs_policy(prim, *_, **__):
 _SAVE_CONVS = _save_convs_policy
 
 
-def _conv(x, w, *, stride, ecfg):
+def _conv(x, w, *, stride, ecfg, groups=1):
     engine = ecfg.conv_kernels
+    if groups > 1:
+        # grouped conv (ResNeXt): XLA path only
+        from ..ops import conv2d
+
+        return conv2d(
+            x, w, stride=stride, layout=ecfg.layout,
+            precision=ecfg.matmul_precision, groups=groups,
+        )
     return _dispatch_conv(
         x, w, stride=stride, layout=ecfg.layout, engine=engine,
         precision=ecfg.matmul_precision,
@@ -86,7 +94,10 @@ def _bottleneck_block(
         relu_fused=True, relu_cap=ecfg.relu_cap, engine=engine, interpret=interp,
     )
 
-    out = _conv(out, block_params["spatial"]["w"], stride=stride, ecfg=ecfg)
+    out = _conv(
+        out, block_params["spatial"]["w"], stride=stride, ecfg=ecfg,
+        groups=mcfg.groups,
+    )
     if tape is not None:
         tape["post_spatial"] = out
     out, stats["bn_spatial"] = _bn_apply(

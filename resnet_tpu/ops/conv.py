@@ -53,14 +53,16 @@ def conv2d(
     layout: str = "NHWC",
     padding: Optional[Tuple[Tuple[int, int], Tuple[int, int]]] = None,
     precision: str = "highest",
+    groups: int = 1,
 ) -> jax.Array:
     """Convolution with reference-centered windows by default.
 
-    x: (N,H,W,C) or (N,C,H,W); w: (kh,kw,in,out) HWIO.
+    x: (N,H,W,C) or (N,C,H,W); w: (kh,kw,in/groups,out) HWIO.
+    groups > 1 = grouped convolution (ResNeXt).
     """
     kh, kw = w.shape[0], w.shape[1]
     hdim, wdim = spatial_dims(layout)
-    if kh == 1 and kw == 1 and stride == 1 and padding is None:
+    if kh == 1 and kw == 1 and stride == 1 and padding is None and groups == 1:
         # 1x1 conv IS a matmul over (N*H*W, Cin) — route it straight to the
         # MXU as dot. ResNet-50's FLOPs are dominated by 1x1 reduce/expand
         # convs (32 of 53 per step); measured ~10x faster than this
@@ -87,5 +89,6 @@ def conv2d(
         window_strides=(stride, stride),
         padding=padding,
         dimension_numbers=_DIM_NUMBERS[layout],
+        feature_group_count=groups,
         precision=_PRECISION[precision],
     )
