@@ -30,7 +30,8 @@ def build_config(argv=None) -> tuple:
     ap = argparse.ArgumentParser(description="resnet_tpu trainer")
     ap.add_argument("--model", default="resnet50",
                     choices=["resnet18", "resnet34", "resnet50", "resnet101",
-                             "resnet152", "tiny"])
+                             "resnet152", "wide_resnet50_2", "wide_resnet101_2",
+                             "resnext50_32x4d", "resnext101_32x8d", "tiny"])
     ap.add_argument("--variant", default="",
                     choices=["", "resnet", "clean", "cudnn", "lowmem", "nchw", "fast"],
                     help="reproduce one of the reference's six trainer"
