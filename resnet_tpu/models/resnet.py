@@ -37,7 +37,13 @@ def _save_convs_policy(prim, *_, **__):
     return prim.name in ("conv_general_dilated", "dot_general")
 
 
-_SAVE_CONVS = _save_convs_policy
+# save convs AND the named BN statistics — without the stats, the policy
+# forces the full-tensor moment reductions to re-run in backward (measured
+# 2x slower than no remat at all)
+_SAVE_CONVS = jax.checkpoint_policies.save_from_both_policies(
+    _save_convs_policy,
+    jax.checkpoint_policies.save_only_these_names("bn_stats"),
+)
 
 
 def _conv(x, w, *, stride, ecfg, groups=1):

@@ -118,6 +118,13 @@ def batch_norm(
     """
     if mean is None or var is None:
         mean, var = batch_moments(x, layout)
+        # name the stats so remat policies can save them: recomputing the
+        # full-tensor reductions in backward is the expensive part of
+        # rematerializing BN (see remat='elementwise')
+        from jax.ad_checkpoint import checkpoint_name
+
+        mean = checkpoint_name(mean, "bn_stats")
+        var = checkpoint_name(var, "bn_stats")
     stat_dtype = jnp.result_type(x.dtype, jnp.float32)
     shape = _param_shape(x.ndim, layout)
     inv_std = jax.lax.rsqrt(var + jnp.asarray(eps, stat_dtype))
