@@ -1,0 +1,22 @@
+# Top-level targets (the reference's Makefile builds six nvcc binaries,
+# Makefile:1-31; here: native components + tests + bench).
+
+.PHONY: all native test test-native bench clean
+
+all: native
+
+native:
+	$(MAKE) -C csrc
+
+test: native
+	python -m pytest tests/ -q
+
+test-native: native
+	python -m pytest tests/test_native.py -q
+
+bench:
+	python bench.py
+
+clean:
+	$(MAKE) -C csrc clean
+	find . -name __pycache__ -type d -exec rm -rf {} + 2>/dev/null || true
