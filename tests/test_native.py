@@ -109,3 +109,13 @@ def test_build_shards_binary(tmp_path, rng):
         np.testing.assert_allclose(
             images[i], expected.transpose(2, 0, 1), atol=1e-5
         )
+
+
+def test_cpp_unit_tests():
+    """The native assert-based unit test binary (csrc/test_shard_loader.cc)."""
+    r = subprocess.run(
+        ["make", "-C", os.path.join(REPO, "csrc"), "test"],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "ALL OK" in r.stdout
