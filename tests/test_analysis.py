@@ -125,3 +125,14 @@ def test_compare_dumps_tool(dumped, tmp_path):
     )
     assert r.returncode == 1
     assert "FAIL" in r.stdout
+
+
+def test_analyze_cli(dumped, capsys):
+    """The analyze CLI (analyze_trainer_dump.ipynb replacement)."""
+    from resnet_tpu.analysis.analyze import main
+
+    d, *_ = dumped
+    main([d, "--threshold", "1e6"])
+    out = capsys.readouterr().out
+    assert "final_avg_pool" in out and "absmax" in out
+    assert "DIVERGENCE" not in out
