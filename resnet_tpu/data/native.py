@@ -130,7 +130,12 @@ class NativeShardIterator:
         self.cursor.shard = int(cur[0])
         self.cursor.batch_in_shard = int(cur[1])
         self.cursor.epoch = int(cur[2])
-        return {"images": images, "labels": labels}
+        # post-batch cursor rides with the batch (see ShardIterator.__next__)
+        return {
+            "images": images,
+            "labels": labels,
+            "cursor": ShardCursor(int(cur[0]), int(cur[1]), int(cur[2])),
+        }
 
     def close(self):
         if self._handle:

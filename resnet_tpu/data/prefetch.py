@@ -35,6 +35,11 @@ class DevicePrefetcher:
         self._thread.start()
 
     def _put(self, batch):
+        # the per-batch shard cursor is host bookkeeping, not device data
+        cursor = None
+        if isinstance(batch, dict) and "cursor" in batch:
+            batch = dict(batch)
+            cursor = batch.pop("cursor")
         if self.transfer_dtype is not None and "images" in batch:
             import jax.numpy as jnp
             import numpy as np
@@ -44,7 +49,7 @@ class DevicePrefetcher:
                 jnp.dtype(self.transfer_dtype)
             )
         if self.sharding is not None:
-            return {
+            out = {
                 k: jax.device_put(
                     v,
                     self.sharding[k]
@@ -53,7 +58,11 @@ class DevicePrefetcher:
                 )
                 for k, v in batch.items()
             }
-        return jax.tree.map(jax.device_put, batch)
+        else:
+            out = jax.tree.map(jax.device_put, batch)
+        if cursor is not None:
+            out["cursor"] = cursor
+        return out
 
     def _worker(self):
         try:

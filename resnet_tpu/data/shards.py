@@ -23,7 +23,7 @@ exactly (overwrite_trainer_hyperparams, resnet.cu:2796-2813).
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass
+from dataclasses import dataclass, replace
 from typing import Dict, Iterator, Optional, Tuple
 
 import numpy as np
@@ -90,7 +90,6 @@ class ShardIterator:
         *,
         layout: str = "NHWC",
         cursor: Optional[ShardCursor] = None,
-        drop_remainder: bool = True,
         random_flip: bool = False,
         seed: int = 1234,
     ):
@@ -98,7 +97,6 @@ class ShardIterator:
         self.batch_size = batch_size
         self.layout = layout
         self.cursor = cursor or ShardCursor()
-        self.drop_remainder = drop_remainder
         # train-time horizontal flip (new capability: the reference bakes a
         # random crop offline and has no online augmentation)
         self.random_flip = random_flip
@@ -148,7 +146,11 @@ class ShardIterator:
             mask = self._rng.random(len(images)) < 0.5
             images[mask] = np.flip(images[mask], axis=w_axis)
         self.cursor.batch_in_shard += 1
-        return {"images": images, "labels": labels}
+        # each batch carries its own post-batch cursor so a checkpoint can
+        # record the position of the last *trained* batch rather than the
+        # (prefetch-skewed) live cursor; resuming from it yields the next
+        # unseen batch (cur_shard/cur_batch_in_shard, resnet.cu:1266-1323)
+        return {"images": images, "labels": labels, "cursor": replace(self.cursor)}
 
 
 def write_shard(

@@ -85,6 +85,91 @@ def dump_id_dir(dump_dir: str, dump_id: int) -> str:
     return os.path.join(dump_dir, f"{dump_id:08d}")
 
 
+# The reference's trainer_checkpoint.txt is bare positional values in this
+# exact order (dump_trainer_checkpoint, resnet.cu:2743-2751). Ours adds
+# 'key: value' labels; both forms are parsed below.
+_REFERENCE_CKPT_FIELDS = (
+    "cur_shard",
+    "cur_batch_in_shard",
+    "cur_mean_decay",
+    "cur_var_decay",
+    "cur_dump_id",
+    "cur_epoch",
+)
+
+
+def parse_trainer_checkpoint(path: str) -> Dict[str, str]:
+    """Parse trainer_checkpoint.txt — labeled (this repo) or positional
+    (actual reference dumps, resnet.cu:2733-2753)."""
+    with open(path) as f:
+        lines = [ln.strip() for ln in f if ln.strip()]
+    if any(":" in ln for ln in lines):
+        out: Dict[str, str] = {}
+        for ln in lines:
+            k, _, v = ln.partition(":")
+            out[k.strip()] = v.strip()
+        return out
+    return dict(zip(_REFERENCE_CKPT_FIELDS, lines))
+
+
+def reference_registry_order(params) -> List[str]:
+    """Our param names in the reference's flat-registry order
+    (init_model_parameters, resnet.cu:805-949): init conv W, init BN
+    gamma/beta; per block reduce/spatial/expand each W, gamma, beta, then
+    projection W/gamma/beta when present; finally FC W. 160 entries for
+    ResNet-50 (n_locations = 16 + 9*n_blocks, resnet.cu:819)."""
+    order = ["init_conv/w", "init_bn/gamma", "init_bn/beta"]
+    for i, block in enumerate(params["blocks"]):
+        for conv, bn in (
+            ("reduce", "bn_reduce"),
+            ("spatial", "bn_spatial"),
+            ("expand", "bn_expand"),
+        ):
+            order += [
+                f"blocks/{i}/{conv}/w",
+                f"blocks/{i}/{bn}/gamma",
+                f"blocks/{i}/{bn}/beta",
+            ]
+        if "proj" in block:
+            order += [
+                f"blocks/{i}/proj/w",
+                f"blocks/{i}/bn_proj/gamma",
+                f"blocks/{i}/bn_proj/beta",
+            ]
+    order.append("fc/w")
+    return order
+
+
+def load_reference_buffers(directory: str, params_template) -> Any:
+    """Read a reference-ordered buffer directory (model_params/, means/,
+    vars/ of an actual resnet.cu dump) into our params pytree.
+
+    Reference conv weights are OIHW (doConvolution indexing,
+    resnet.cu:131-152: weights[o*k*k*in + in*k*k + kh*k + kw]); ours are
+    HWIO, so 4-D buffers are transposed (2,3,1,0). BN vectors and the FC
+    matrix (row-major in_features x classes, matMul resnet.cu:70-88) map
+    directly."""
+    by_name = dict(flat_registry(params_template))
+    order = reference_registry_order(params_template)
+    out = dict(by_name)
+    for i, name in enumerate(order):
+        leaf = by_name[name]
+        buf = np.fromfile(
+            os.path.join(directory, f"{i:03d}.buffer"), dtype=np.float32
+        )
+        shape = np.shape(leaf)
+        if len(shape) == 4:  # HWIO <- OIHW
+            h, w, ci, co = shape
+            arr = buf.reshape(co, ci, h, w).transpose(2, 3, 1, 0)
+        else:
+            arr = buf.reshape(shape)
+        out[name] = np.ascontiguousarray(arr, dtype=np.float32)
+    # rebuild the pytree from the name->array mapping
+    leaves_paths, treedef = jax.tree_util.tree_flatten_with_path(params_template)
+    rebuilt = [out[_path_str(p)] for p, _ in leaves_paths]
+    return treedef.unflatten(rebuilt)
+
+
 def save_checkpoint(
     dump_dir: str,
     dump_id: int,
@@ -142,27 +227,29 @@ def restore_checkpoint(
     dump_dir: str, dump_id: int, state_template: TrainState
 ) -> Tuple[TrainState, ShardCursor]:
     root = dump_id_dir(dump_dir, dump_id)
-    params = _read_buffers(os.path.join(root, "model_params"), state_template.params)
-
-    ckpt: Dict[str, str] = {}
-    with open(os.path.join(root, "trainer_checkpoint.txt")) as f:
-        for line in f:
-            k, _, v = line.partition(":")
-            ckpt[k.strip()] = v.strip()
+    ckpt = parse_trainer_checkpoint(os.path.join(root, "trainer_checkpoint.txt"))
+    # a dump without registry.txt is an actual reference dump: buffers in
+    # init-registry order with OIHW conv weights (resnet.cu:805-949)
+    is_reference_dump = not os.path.exists(os.path.join(root, "registry.txt"))
+    read = load_reference_buffers if is_reference_dump else _read_buffers
+    params = read(os.path.join(root, "model_params"), state_template.params)
+    # reference checkpoints carry no optimizer step; cur_dump_id is the
+    # global step and the optimizer has run once per step
+    opt_step = int(ckpt.get("opt_step", ckpt["cur_dump_id"]))
 
     opt = state_template.opt_state
     if isinstance(opt, GuardedAdamState):
         opt = GuardedAdamState(
-            means=_read_buffers(os.path.join(root, "means"), opt.means),
-            vars=_read_buffers(os.path.join(root, "vars"), opt.vars),
+            means=read(os.path.join(root, "means"), opt.means),
+            vars=read(os.path.join(root, "vars"), opt.vars),
             mean_decay_prod=np.float32(ckpt["cur_mean_decay"]),
             var_decay_prod=np.float32(ckpt["cur_var_decay"]),
-            step=np.int32(int(ckpt["opt_step"])),
+            step=np.int32(opt_step),
         )
     elif isinstance(opt, SGDState):
         opt = SGDState(
             momentum_buf=_read_buffers(os.path.join(root, "momentum"), opt.momentum_buf),
-            step=np.int32(int(ckpt["opt_step"])),
+            step=np.int32(opt_step),
         )
 
     bn_state = state_template.bn_state

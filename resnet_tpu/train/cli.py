@@ -13,6 +13,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import os
 
 from ..config import (
     DataConfig,
@@ -42,6 +43,10 @@ def build_config(argv=None) -> tuple:
     ap.add_argument("--steps", type=int, default=0,
                     help="train this many steps instead of full epochs")
     ap.add_argument("--shard-dir", default="")
+    ap.add_argument("--num-shards", type=int, default=0,
+                    help="0 = count %%03d.images files in --shard-dir"
+                         " (reference default 40)")
+    ap.add_argument("--shard-images", type=int, default=32768)  # resnet.cu:3277
     ap.add_argument("--jpeg-dir", default="",
                     help="raw ImageFolder tree; online decode/augment path")
     ap.add_argument("--random-flip", action="store_true")
@@ -116,10 +121,17 @@ def build_config(argv=None) -> tuple:
     else:
         mcfg = model_config(args.model)
 
+    # LR-schedule horizon from the REAL dataset size: shard count comes
+    # from the flag or the actual shard directory, never from defaults
+    num_shards = args.num_shards
+    if not num_shards and args.shard_dir:
+        import glob as _glob
+
+        num_shards = len(_glob.glob(os.path.join(args.shard_dir, "*.images")))
+    num_shards = num_shards or DataConfig().num_shards
     total_steps = args.steps
     if not total_steps and args.shard_dir:
-        dc = DataConfig()
-        total_steps = args.epochs * (dc.shard_images * dc.num_shards // args.batch_size)
+        total_steps = args.epochs * (args.shard_images * num_shards // args.batch_size)
 
     cfg = TrainConfig(
         model=mcfg,
@@ -146,6 +158,8 @@ def build_config(argv=None) -> tuple:
             shard_dir=args.shard_dir,
             jpeg_dir=args.jpeg_dir,
             batch_size=args.batch_size,
+            num_shards=num_shards,
+            shard_images=args.shard_images,
             layout=args.shard_layout,
             transfer_dtype=args.transfer_dtype,
             random_flip=args.random_flip,

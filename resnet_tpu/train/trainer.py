@@ -18,6 +18,7 @@ resume from cfg.resume_from (LOAD_FROM_DUMP_ID, resnet.cu:3299-3304).
 
 from __future__ import annotations
 
+from dataclasses import replace
 from typing import Any, Dict, Iterator, Optional
 
 import jax
@@ -121,19 +122,25 @@ class Trainer:
         # flip augmentation is on — the flip runs host-side in numpy)
         from ..data.native import NativeShardIterator, native_available
 
+        # the iterator gets a *copy* of the cursor: its worker thread runs
+        # ahead of training by the prefetch depth, so the live cursor must
+        # never be the one checkpoints record. self.cursor tracks the last
+        # trained batch via the per-batch snapshots (run() below); dumping
+        # it matches the reference's synchronous cursor-at-update semantics
+        # (dump_trainer inside update_parameters, resnet.cu:2947-2950).
         if native_available() and not dcfg.random_flip:
             return NativeShardIterator(
                 dataset,
                 dcfg.batch_size,
                 layout=self.cfg.execution.layout,
-                cursor=self.cursor,
+                cursor=replace(self.cursor),
                 prefetch_depth=max(2, dcfg.prefetch),
             )
         return ShardIterator(
             dataset,
             dcfg.batch_size,
             layout=self.cfg.execution.layout,
-            cursor=self.cursor,
+            cursor=replace(self.cursor),
             random_flip=dcfg.random_flip,
             seed=self.cfg.seed,
         )
@@ -182,6 +189,9 @@ class Trainer:
         step_before = int(jax.device_get(self.state.step))
         for _ in range(num_steps):
             batch = next(it)
+            # post-batch stream position of THIS batch; applied to
+            # self.cursor only after the step trains on it
+            batch_cursor = batch.pop("cursor", None)
             if (
                 cfg.checkpoint_every
                 and step_before % cfg.checkpoint_every == 0
@@ -194,6 +204,8 @@ class Trainer:
                     metadata={"loss_history": self.logger.loss_history[-100:]},
                 )
             self.state, metrics = self.train_step(self.state, batch)
+            if batch_cursor is not None:
+                self.cursor = batch_cursor
             if pending is not None and cfg.record_metrics:
                 # only fetch metrics when logging is on — each device_get is
                 # a host sync (expensive over remote/tunneled devices)
@@ -210,7 +222,8 @@ class Trainer:
 
     def run_epochs(self, epochs: Optional[int] = None):
         epochs = epochs or self.cfg.epochs
-        if isinstance(self._host_iter, ShardIterator):
+        if hasattr(self._host_iter, "batches_per_epoch"):
+            # ShardIterator and NativeShardIterator both expose this
             steps_per_epoch = self._host_iter.batches_per_epoch
         else:
             steps_per_epoch = max(
@@ -229,10 +242,17 @@ class Trainer:
             data, depth=self.cfg.data.prefetch, mesh=self.mesh,
             data_axis=self.cfg.parallel.data_axis,
         )
-        for _ in range(num_batches):
-            m = jax.device_get(self.eval_step(self.state, next(it)))
-            for k, v in m.items():
-                sums[k] = sums.get(k, 0.0) + float(v)
+        try:
+            for _ in range(num_batches):
+                batch = next(it)
+                batch.pop("cursor", None)
+                m = jax.device_get(self.eval_step(self.state, batch))
+                for k, v in m.items():
+                    sums[k] = sums.get(k, 0.0) + float(v)
+        finally:
+            # without this the prefetcher's daemon thread keeps draining
+            # the eval iterator and holding device batches after return
+            it.stop()
         return {k: v / num_batches for k, v in sums.items()}
 
     def finalize(self):

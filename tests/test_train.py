@@ -164,6 +164,54 @@ def test_checkpoint_roundtrip(tmp_path, rng):
     assert "init_conv" in reg[0] or any("init_conv" in l for l in reg)
 
 
+def test_restore_actual_reference_dump_format(tmp_path, rng):
+    """An actual reference dump — bare positional trainer_checkpoint.txt
+    (resnet.cu:2743-2751), buffers in init-registry order
+    (resnet.cu:805-949), conv weights OIHW — must restore into our pytree."""
+    from resnet_tpu.train.checkpoint import (
+        flat_registry,
+        reference_registry_order,
+        restore_checkpoint,
+    )
+
+    cfg = tiny_cfg()
+    state = init_train_state(cfg)
+    by_name = dict(flat_registry(jax.device_get(state.params)))
+    order = reference_registry_order(state.params)
+    assert order[-1] == "fc/w" and set(order) == set(by_name)
+
+    root = tmp_path / "00001000"
+    for sub, tree in (
+        ("model_params", state.params),
+        ("means", state.opt_state.means),
+        ("vars", state.opt_state.vars),
+    ):
+        d = root / sub
+        d.mkdir(parents=True)
+        named = dict(flat_registry(jax.device_get(tree)))
+        for i, name in enumerate(order):
+            leaf = np.asarray(named[name], np.float32)
+            if leaf.ndim == 4:  # our HWIO -> reference OIHW
+                leaf = leaf.transpose(3, 2, 0, 1)
+            np.ascontiguousarray(leaf).tofile(d / f"{i:03d}.buffer")
+    # positional checkpoint: shard, batch_in_shard, mean_decay, var_decay,
+    # dump_id, epoch
+    (root / "trainer_checkpoint.txt").write_text(
+        "3\n17\n0.99\n0.9975\n1000\n2\n"
+    )
+
+    restored, cursor = restore_checkpoint(str(tmp_path), 1000, init_train_state(cfg))
+    assert (cursor.shard, cursor.batch_in_shard, cursor.epoch) == (3, 17, 2)
+    assert int(restored.step) == 1000
+    assert float(restored.opt_state.mean_decay_prod) == pytest.approx(0.99)
+    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(
+        jax.tree.leaves(state.opt_state.vars), jax.tree.leaves(restored.opt_state.vars)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_npz_checkpoint_roundtrip(tmp_path, rng):
     cfg = tiny_cfg()
     state = init_train_state(cfg)
@@ -253,6 +301,54 @@ def test_trainer_with_real_shards(tmp_path, rng):
     assert int(jax.device_get(trainer2.state.step)) == 2
     last2 = trainer2.run(2)
     assert np.isfinite(last2["loss"])
+
+
+def test_checkpoint_cursor_not_skewed_by_prefetch(tmp_path, rng):
+    """The prefetch worker runs several batches ahead of training; a
+    checkpoint must record the stream position of the last *trained* batch
+    (reference dumps the cursor synchronously inside update_parameters,
+    resnet.cu:2947-2950), so that resume re-reads exactly the first
+    untrained batch — no silent skips."""
+    from resnet_tpu.data import ShardDataset, ShardIterator, write_shard
+    from resnet_tpu.train.checkpoint import restore_checkpoint
+
+    shard_dir = str(tmp_path / "shards")
+    mcfg = tiny_model_config()
+    d = mcfg.input_dim
+    # labels encode the global sample index so batches are identifiable
+    for s in range(2):
+        imgs = rng.normal(0, 50, (16, 3, d, d)).astype(np.float32)
+        labels = (np.arange(16) + 16 * s).astype(np.int32) % mcfg.num_classes
+        write_shard(shard_dir, s, imgs, labels)
+
+    dcfg = DataConfig(
+        shard_dir=shard_dir, batch_size=8, shard_images=16, num_shards=2,
+        layout="NCHW", prefetch=2,
+    )
+    cfg = tiny_cfg(
+        data=dcfg,
+        checkpoint_dir=str(tmp_path / "dumps"),
+        checkpoint_every=2,
+        log_every=0,
+    )
+    trainer = Trainer(cfg, use_mesh=False)
+    trainer.run(3)  # dump at step 2 happens BEFORE training batch 2
+    trainer.finalize()
+
+    template = init_train_state(cfg)
+    _, cursor = restore_checkpoint(str(tmp_path / "dumps"), 2, template)
+
+    # with prefetch depth 2 the live iterator was ~2 batches ahead; the
+    # dumped cursor must still point at batch 2 (= shard 1, batch 0)
+    ds = ShardDataset(shard_dir, num_shards=2, shard_images=16,
+                      image_dim=d, disk_layout="NCHW")
+    resumed = ShardIterator(ds, batch_size=8, cursor=cursor)
+    labels = next(resumed)["labels"]
+    np.testing.assert_array_equal(
+        labels, (np.arange(8) + 16).astype(np.int32) % mcfg.num_classes
+    )
+    # trainer's own cursor advanced to the last trained batch (batch 2)
+    assert (trainer.cursor.shard, trainer.cursor.batch_in_shard) in ((1, 1), (0, 3))
 
 
 def test_stage_remat_matches(rng):
