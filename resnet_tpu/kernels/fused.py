@@ -86,27 +86,30 @@ def _add_relu_bwd(interpret, res, g):
 add_relu.defvjp(_add_relu_fwd, _add_relu_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def bias_act(x, scale, shift, relu=True, interpret=False):
-    """y = [relu](x * scale + shift), scale/shift broadcast over rows
-    (per-channel, channels = last dim). Differentiable."""
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def bias_act(x, scale, shift, relu=True, interpret=False, cap=None):
+    """y = [relu](x * scale + shift) [clipped at cap], scale/shift broadcast
+    over rows (per-channel, channels = last dim). Differentiable. cap is the
+    clipped-ReLU ceiling (resnet_cudnn_fast.cu:1143-1145)."""
     orig_shape = x.shape
-    y = bias_act_2d(_flatten2(x), scale, shift, relu=relu, interpret=interpret)
+    y = bias_act_2d(_flatten2(x), scale, shift, relu=relu, cap=cap,
+                    interpret=interpret)
     return y.reshape(orig_shape)
 
 
-def _bias_act_fwd(x, scale, shift, relu, interpret):
-    return bias_act(x, scale, shift, relu, interpret), (x, scale, shift)
+def _bias_act_fwd(x, scale, shift, relu, interpret, cap):
+    return bias_act(x, scale, shift, relu, interpret, cap), (x, scale, shift)
 
 
-def _bias_act_bwd(relu, interpret, res, dy):
+def _bias_act_bwd(relu, interpret, cap, res, dy):
     x, scale, shift = res
     xf = x.astype(jnp.float32)
     sf = jnp.asarray(scale, jnp.float32)
     dv = dy.astype(jnp.float32)
     if relu:
         v = xf * sf + jnp.asarray(shift, jnp.float32)
-        dv = jnp.where(v > 0, dv, 0.0)
+        gate = (v > 0) if cap is None else (v > 0) & (v < cap)
+        dv = jnp.where(gate, dv, 0.0)
     axes = tuple(range(x.ndim - 1))
     dx = (dv * sf).astype(x.dtype)
     dscale = jnp.sum(dv * xf, axis=axes).astype(jnp.asarray(scale).dtype)

@@ -44,7 +44,7 @@ from ..ops.padding import reference_padding
 
 def _fused_conv_kernel(
     x_ref, w_ref, scale_ref, shift_ref, o_ref, sums_ref, acc_ref, xbuf_ref,
-    *, kh, kw, stride, ho, wo, nb, prologue, relu, valid,
+    *, kh, kw, stride, ho, wo, nb, prologue, relu, cap, valid,
 ):
     """Grid (co_tiles, n/nb): image-batch innermost so the sums block stays
     resident in VMEM across the accumulation. nb images per step keeps the
@@ -62,6 +62,8 @@ def _fused_conv_kernel(
         x = x * scale_ref[0, :] + shift_ref[0, :]
         if relu:
             x = jnp.maximum(x, 0.0)
+            if cap is not None:  # clipped ReLU (resnet_cudnn_fast.cu:1143)
+                x = jnp.minimum(x, cap)
         # the affine must not leak into the zero padding (shift != 0 would
         # turn pad zeros into relu(shift)); mask the halo back to 0
         r_lo, r_hi, c_lo, c_hi = valid
@@ -108,7 +110,8 @@ def _fused_conv_kernel(
 
 
 def _fused_conv_raw(
-    x, w, scale, shift, *, stride, padding, prologue, relu, interpret=False
+    x, w, scale, shift, *, stride, padding, prologue, relu, cap=None,
+    interpret=False,
 ):
     n, h, wdt, cin = x.shape
     kh, kw, _, cout = w.shape
@@ -149,7 +152,7 @@ def _fused_conv_raw(
     out, sums = pl.pallas_call(
         functools.partial(
             _fused_conv_kernel, kh=kh, kw=kw, stride=stride, ho=ho, wo=wo,
-            nb=nb, prologue=prologue, relu=relu,
+            nb=nb, prologue=prologue, relu=relu, cap=cap,
             valid=(ph_lo, ph_lo + h, pw_lo, pw_lo + wdt),
         ),
         grid=(coutp // block_co, n // nb),
@@ -187,7 +190,7 @@ def _fused_conv_raw(
 
 def _prologue_bwd_kernel(
     x_ref, du_ref, scale_ref, shift_ref, dx_ref, sums_ref, acc_ref,
-    *, n_m: int, relu: bool
+    *, n_m: int, relu: bool, cap=None
 ):
     """One pass: dv = du * relu'(x*scale+shift); dx = dv*scale;
     accumulate per-channel [Σ dv*x, Σ dv] (= dscale, dshift).
@@ -204,13 +207,14 @@ def _prologue_bwd_kernel(
     dv = du_ref[:].astype(jnp.float32)
     if relu:
         v = xf * scale_ref[0, :] + shift_ref[0, :]
-        dv = jnp.where(v > 0, dv, 0.0)
+        gate = (v > 0) if cap is None else (v > 0) & (v < cap)
+        dv = jnp.where(gate, dv, 0.0)
     dx_ref[:] = (dv * scale_ref[0, :]).astype(dx_ref.dtype)
     sums_ref[0, :] += jnp.sum(dv * xf, axis=0)
     sums_ref[1, :] += jnp.sum(dv, axis=0)
 
 
-def _prologue_bwd(x, du, scale, shift, *, relu, interpret=False):
+def _prologue_bwd(x, du, scale, shift, *, relu, cap=None, interpret=False):
     """Returns (dx, dscale, dshift) for u = relu(x*scale+shift)."""
     shape = x.shape
     c = shape[-1]
@@ -229,7 +233,7 @@ def _prologue_bwd(x, du, scale, shift, *, relu, interpret=False):
     tile = pl.BlockSpec((bm, bc), lambda j, i: (i, j), memory_space=pltpu.VMEM)
     rowspec = pl.BlockSpec((1, bc), lambda j, i: (0, j), memory_space=pltpu.VMEM)
     dx, sums = pl.pallas_call(
-        functools.partial(_prologue_bwd_kernel, n_m=mp // bm, relu=relu),
+        functools.partial(_prologue_bwd_kernel, n_m=mp // bm, relu=relu, cap=cap),
         grid=(cp // bc, mp // bm),
         in_specs=[tile, tile, rowspec, rowspec],
         out_specs=(
@@ -259,33 +263,36 @@ def _resolve_pad(x, w, stride, padding):
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
 def fused_conv(
     x, w, scale, shift, stride=1, padding=None, prologue=True, relu=True,
-    interpret=False,
+    interpret=False, cap=None,
 ):
     """(y, sums): y = conv(relu(x*scale+shift), w); sums = [Σy, Σy²] (2, Co).
 
     With prologue=False, scale/shift are ignored (pass ones/zeros).
     sums are per-channel over batch and space, for the consumer's BN.
+    cap clips the prologue ReLU (the fast variant's clipped activation,
+    resnet_cudnn_fast.cu:1143-1145).
     """
     padding = _resolve_pad(x, w, stride, padding)
     return _fused_conv_raw(
         x, w, scale, shift, stride=stride, padding=padding,
-        prologue=prologue, relu=relu, interpret=interpret,
+        prologue=prologue, relu=relu, cap=cap, interpret=interpret,
     )
 
 
-def _fused_conv_fwd(x, w, scale, shift, stride, padding, prologue, relu, interpret):
+def _fused_conv_fwd(x, w, scale, shift, stride, padding, prologue, relu,
+                    interpret, cap):
     padding = _resolve_pad(x, w, stride, padding)
     y, sums = _fused_conv_raw(
         x, w, scale, shift, stride=stride, padding=padding,
-        prologue=prologue, relu=relu, interpret=interpret,
+        prologue=prologue, relu=relu, cap=cap, interpret=interpret,
     )
     return (y, sums), (x, w, scale, shift, y)
 
 
-def _fused_conv_bwd(stride, padding, prologue, relu, interpret, res, cts):
+def _fused_conv_bwd(stride, padding, prologue, relu, interpret, cap, res, cts):
     from jax import lax
 
     x, w, scale, shift, y = res
@@ -306,6 +313,8 @@ def _fused_conv_bwd(stride, padding, prologue, relu, interpret, res, cts):
             jnp.float32
         )
         u = jnp.maximum(v, 0.0) if relu else v
+        if relu and cap is not None:
+            u = jnp.minimum(u, cap)
         u = u.astype(x.dtype)
     else:
         u = x
@@ -325,7 +334,7 @@ def _fused_conv_bwd(stride, padding, prologue, relu, interpret, res, cts):
 
     if prologue:
         dx, dscale, dshift = _prologue_bwd(
-            x, du, scale, shift, relu=relu, interpret=interpret
+            x, du, scale, shift, relu=relu, cap=cap, interpret=interpret
         )
         dscale = dscale.astype(jnp.asarray(scale).dtype)
         dshift = dshift.astype(jnp.asarray(shift).dtype)
@@ -353,15 +362,16 @@ def _join_kernel(e_ref, r_ref, se_ref, te_ref, sr_ref, tr_ref, o_ref, *, cap):
     o_ref[:] = y.astype(o_ref.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
-def fused_join(e, scale_e, shift_e, r, scale_r, shift_r, interpret=False):
-    """relu(bn_e(e) + bn_r(r)) — residual join with both pending BN affines
-    applied in the same pass (resnet.cu:1717-1723 ran add + relu as two
-    kernels after two standalone BN kernels)."""
-    return _join_raw(e, scale_e, shift_e, r, scale_r, shift_r, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def fused_join(e, scale_e, shift_e, r, scale_r, shift_r, interpret=False,
+               cap=None):
+    """relu(bn_e(e) + bn_r(r)) [clipped at cap] — residual join with both
+    pending BN affines applied in the same pass (resnet.cu:1717-1723 ran add
+    + relu as two kernels after two standalone BN kernels)."""
+    return _join_raw(e, scale_e, shift_e, r, scale_r, shift_r, interpret, cap)
 
 
-def _join_raw(e, scale_e, shift_e, r, scale_r, shift_r, interpret):
+def _join_raw(e, scale_e, shift_e, r, scale_r, shift_r, interpret, cap=None):
     shape = e.shape
     c = shape[-1]
     e2 = e.reshape(-1, c)
@@ -379,7 +389,7 @@ def _join_raw(e, scale_e, shift_e, r, scale_r, shift_r, interpret):
     tile = pl.BlockSpec((bm, bc), lambda i, j: (i, j), memory_space=pltpu.VMEM)
     rowspec = pl.BlockSpec((1, bc), lambda i, j: (0, j), memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        functools.partial(_join_kernel, cap=None),
+        functools.partial(_join_kernel, cap=cap),
         grid=(mp // bm, cp // bc),
         in_specs=[tile, tile, rowspec, rowspec, rowspec, rowspec],
         out_specs=tile,
@@ -389,14 +399,16 @@ def _join_raw(e, scale_e, shift_e, r, scale_r, shift_r, interpret):
     return out[:m, :c].reshape(shape)
 
 
-def _join_fwd(e, scale_e, shift_e, r, scale_r, shift_r, interpret):
-    y = _join_raw(e, scale_e, shift_e, r, scale_r, shift_r, interpret)
+def _join_fwd(e, scale_e, shift_e, r, scale_r, shift_r, interpret, cap):
+    y = _join_raw(e, scale_e, shift_e, r, scale_r, shift_r, interpret, cap)
     return y, (e, scale_e, shift_e, r, scale_r, shift_r, y)
 
 
-def _join_bwd(interpret, res, dy):
+def _join_bwd(interpret, cap, res, dy):
     e, scale_e, shift_e, r, scale_r, shift_r, y = res
-    gate = (y > 0).astype(jnp.float32)
+    yf = y.astype(jnp.float32)
+    gate = (yf > 0) if cap is None else (yf > 0) & (yf < cap)
+    gate = gate.astype(jnp.float32)
     dv = dy.astype(jnp.float32) * gate
     axes = tuple(range(e.ndim - 1))
     de = (dv * jnp.asarray(scale_e, jnp.float32)).astype(e.dtype)

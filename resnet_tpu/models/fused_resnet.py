@@ -47,6 +47,7 @@ def fused_forward(
     assert ecfg.layout == "NHWC", "fused path is NHWC-only"
     eps = mcfg.bn_eps
     interp = ecfg.resolve_interpret()
+    cap = ecfg.relu_cap
     x = x.astype(ecfg.cdtype)
     ones = jnp.ones((1,), jnp.float32)
     zeros = jnp.zeros((1,), jnp.float32)
@@ -71,7 +72,7 @@ def fused_forward(
     inv0 = jax.lax.rsqrt(var0 + jnp.float32(eps))
     sc0 = params["init_bn"]["gamma"].astype(jnp.float32) * inv0
     sh0 = params["init_bn"]["beta"].astype(jnp.float32) - sc0 * mean0
-    act0 = bias_act(y0, sc0, sh0, True, interp)
+    act0 = bias_act(y0, sc0, sh0, True, interp, cap)
     out = max_pool(act0, kernel=mcfg.maxpool_kernel, stride=mcfg.maxpool_stride,
                    layout="NHWC")
 
@@ -90,7 +91,7 @@ def fused_forward(
             sc_1, sh_1 = affine(sums_1, bp["bn1"], m_1)
 
             c2, sums_2 = fused_conv(c1, bp["conv2"]["w"], sc_1, sh_1,
-                                    1, None, True, True, interp)
+                                    1, None, True, True, interp, cap)
             m_2 = c2.shape[0] * c2.shape[1] * c2.shape[2]
             bstats["bn2"] = _stats(sums_2, m_2)
             sc_2, sh_2 = affine(sums_2, bp["bn2"], m_2)
@@ -101,13 +102,13 @@ def fused_forward(
                 m_p = p.shape[0] * p.shape[1] * p.shape[2]
                 bstats["bn_proj"] = _stats(sums_p, m_p)
                 sc_p, sh_p = affine(sums_p, bp["bn_proj"], m_p)
-                out = fused_join(c2, sc_2, sh_2, p, sc_p, sh_p, interp)
+                out = fused_join(c2, sc_2, sh_2, p, sc_p, sh_p, interp, cap)
             else:
                 c = out.shape[-1]
                 out = fused_join(
                     c2, sc_2, sh_2, out,
                     jnp.ones((c,), jnp.float32), jnp.zeros((c,), jnp.float32),
-                    interp,
+                    interp, cap,
                 )
             block_stats.append(bstats)
             continue
@@ -119,13 +120,13 @@ def fused_forward(
         sc_r, sh_r = affine(sums_r, bp["bn_reduce"], m_r)
 
         s_, sums_s = fused_conv(r, bp["spatial"]["w"], sc_r, sh_r,
-                                stride, None, True, True, interp)
+                                stride, None, True, True, interp, cap)
         m_s = s_.shape[0] * s_.shape[1] * s_.shape[2]
         bstats["bn_spatial"] = _stats(sums_s, m_s)
         sc_s, sh_s = affine(sums_s, bp["bn_spatial"], m_s)
 
         e, sums_e = fused_conv(s_, bp["expand"]["w"], sc_s, sh_s,
-                               1, None, True, True, interp)
+                               1, None, True, True, interp, cap)
         m_e = e.shape[0] * e.shape[1] * e.shape[2]
         bstats["bn_expand"] = _stats(sums_e, m_e)
         sc_e, sh_e = affine(sums_e, bp["bn_expand"], m_e)
@@ -136,13 +137,13 @@ def fused_forward(
             m_p = p.shape[0] * p.shape[1] * p.shape[2]
             bstats["bn_proj"] = _stats(sums_p, m_p)
             sc_p, sh_p = affine(sums_p, bp["bn_proj"], m_p)
-            out = fused_join(e, sc_e, sh_e, p, sc_p, sh_p, interp)
+            out = fused_join(e, sc_e, sh_e, p, sc_p, sh_p, interp, cap)
         else:
             c = out.shape[-1]
             out = fused_join(
                 e, sc_e, sh_e, out,
                 jnp.ones((c,), jnp.float32), jnp.zeros((c,), jnp.float32),
-                interp,
+                interp, cap,
             )
         block_stats.append(bstats)
     stats["blocks"] = block_stats

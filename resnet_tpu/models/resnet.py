@@ -86,7 +86,6 @@ def _bottleneck_block(
 ):
     layout = ecfg.layout
     eps = mcfg.bn_eps
-    prec = ecfg.matmul_precision
     engine = ecfg.kernels
     interp = ecfg.resolve_interpret() if engine == "pallas" else False
     stats: Dict[str, Any] = {}
@@ -144,7 +143,6 @@ def _basic_block(
 ):
     layout = ecfg.layout
     eps = mcfg.bn_eps
-    prec = ecfg.matmul_precision
     engine = ecfg.kernels
     interp = ecfg.resolve_interpret() if engine == "pallas" else False
     stats: Dict[str, Any] = {}
@@ -200,7 +198,6 @@ def forward(
         and train
         and not capture
         and ecfg.layout == "NHWC"
-        and ecfg.relu_cap is None
     ):
         from .fused_resnet import fused_forward
 

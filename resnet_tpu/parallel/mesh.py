@@ -24,6 +24,10 @@ def make_mesh(
     if devices is None:
         devices = jax.devices()
     if num_devices and num_devices > 0:
+        if num_devices > len(devices):
+            raise ValueError(
+                f"mesh wants {num_devices} devices, only {len(devices)} available"
+            )
         devices = devices[:num_devices]
     return Mesh(np.asarray(devices), (axis,))
 

@@ -83,6 +83,35 @@ def test_train_step_runs_and_learns(rng):
     assert np.all(np.isfinite(losses))
 
 
+def test_relu_cap_parity(setup, rng):
+    """relu_cap (the fast variant's clipped ReLU, cap 10,
+    resnet_cudnn_fast.cu:1143-1145) must produce identical forward logits
+    and gradients on the fused engine as on the XLA path — both the caps
+    in the BN activations and in the residual joins."""
+    mcfg, params, x, _, _ = setup
+    # small cap so the clip actually engages on this data
+    exla = ExecutionConfig(kernels="xla", relu_cap=2.0)
+    efus = ExecutionConfig(kernels="fused", pallas_interpret=True, relu_cap=2.0)
+    lx, _ = forward(params, x, mcfg, exla, train=True)
+    lf, _ = forward(params, x, mcfg, efus, train=True)
+    np.testing.assert_allclose(np.asarray(lx), np.asarray(lf), rtol=1e-3, atol=1e-4)
+    # capped vs uncapped must differ (the cap engages)
+    lu, _ = forward(params, x, mcfg, ExecutionConfig(kernels="xla"), train=True)
+    assert not np.allclose(np.asarray(lu), np.asarray(lx))
+
+    labels = jnp.asarray(rng.integers(0, 8, (4,)).astype(np.int32))
+    batch = {"images": x, "labels": labels}
+    cx = TrainConfig(model=mcfg, execution=exla, data=DataConfig(batch_size=4))
+    cf = TrainConfig(model=mcfg, execution=efus, data=DataConfig(batch_size=4))
+    gx = jax.grad(lambda p: _loss_fn(p, batch, None, cx)[0])(params)
+    gf = jax.grad(lambda p: _loss_fn(p, batch, None, cf)[0])(params)
+    for a, b in zip(jax.tree.leaves(gx), jax.tree.leaves(gf)):
+        scale = max(1e-3, float(np.max(np.abs(np.asarray(a)))))
+        np.testing.assert_allclose(
+            np.asarray(a) / scale, np.asarray(b) / scale, rtol=2e-3, atol=5e-4
+        )
+
+
 def test_basic_block_fused_parity(rng):
     """Fused path on a basic-block (resnet18-style) tiny model."""
     mcfg = tiny_model_config(bottleneck=False, expansion=1)

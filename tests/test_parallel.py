@@ -1,12 +1,19 @@
-"""Parallel-layer unit tests (mesh helpers, distributed utilities).
-Multi-device DP equivalence lives in test_train.py."""
+"""Parallel-layer behavior tests: mesh construction limits, uneven-batch
+sharding failures, multi-host batch/cursor arithmetic. Multi-device DP
+numerics equivalence lives in test_train.py."""
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from resnet_tpu.parallel import host_batch_slice, initialize_distributed, make_mesh, replicate, shard_batch
+from resnet_tpu.parallel import (
+    host_batch_slice,
+    initialize_distributed,
+    make_mesh,
+    replicate,
+    shard_batch,
+)
 
 
 def test_make_mesh_sizes():
@@ -17,6 +24,11 @@ def test_make_mesh_sizes():
     assert m8.axis_names == ("data",)
 
 
+def test_make_mesh_more_than_available_raises():
+    with pytest.raises(ValueError, match="devices"):
+        make_mesh(16)  # only 8 virtual devices in the test harness
+
+
 def test_shard_batch_and_replicate():
     mesh = make_mesh(8)
     batch = {
@@ -25,13 +37,78 @@ def test_shard_batch_and_replicate():
     }
     sharded = shard_batch(batch, mesh)
     assert sharded["images"].sharding.spec == jax.sharding.PartitionSpec("data")
+    # each device holds exactly global/8 rows
+    shard_shapes = {s.data.shape for s in sharded["images"].addressable_shards}
+    assert shard_shapes == {(2, 4, 4, 3)}
     tree = replicate({"w": jnp.ones((4,))}, mesh)
     assert tree["w"].sharding.spec == jax.sharding.PartitionSpec()
+
+
+def test_shard_batch_uneven_raises():
+    """A global batch not divisible by the mesh must fail loudly at
+    placement time, not silently mis-shard."""
+    mesh = make_mesh(8)
+    batch = {"labels": np.zeros((10,), np.int32)}
+    with pytest.raises(ValueError):
+        jax.block_until_ready(shard_batch(batch, mesh))
 
 
 def test_host_batch_slice_single_process():
     per, idx = host_batch_slice(256)
     assert per == 256 and idx == 0
+
+
+def test_host_batch_slice_multi_host(monkeypatch):
+    monkeypatch.setattr(jax, "process_count", lambda: 4)
+    monkeypatch.setattr(jax, "process_index", lambda: 3)
+    per, idx = host_batch_slice(256)
+    assert per == 64 and idx == 3
+    with pytest.raises(ValueError, match="divisible"):
+        host_batch_slice(255)
+
+
+def test_multi_host_shard_stream_offsets(monkeypatch, tmp_path):
+    """Each host's loader starts num_shards/n_hosts shards in
+    (trainer._build_data): host 1 of 2 with 4 shards starts at shard 2."""
+    from resnet_tpu.config import (
+        DataConfig,
+        ExecutionConfig,
+        OptimizerConfig,
+        TrainConfig,
+        tiny_model_config,
+    )
+    from resnet_tpu.data import write_shard
+    from resnet_tpu.train import Trainer
+
+    rng = np.random.default_rng(0)
+    mcfg = tiny_model_config()
+    d = mcfg.input_dim
+    shard_dir = str(tmp_path / "shards")
+    for s in range(4):
+        write_shard(
+            shard_dir, s,
+            rng.normal(0, 50, (8, 3, d, d)).astype(np.float32),
+            np.full((8,), s, np.int32) % mcfg.num_classes,
+        )
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    monkeypatch.setattr(jax, "process_index", lambda: 1)
+    cfg = TrainConfig(
+        model=mcfg,
+        execution=ExecutionConfig(),
+        optimizer=OptimizerConfig(),
+        data=DataConfig(shard_dir=shard_dir, batch_size=8, shard_images=8,
+                        num_shards=4, layout="NCHW"),
+        checkpoint_dir="",
+    )
+    trainer = Trainer(cfg, use_mesh=False)
+    batch = next(trainer._host_iter)
+    # host 1's stream begins at shard 2: labels are the shard id
+    assert int(batch["labels"][0]) == 2 % mcfg.num_classes
+    # post-batch cursor: python iterator reports (2, 1), the native loader
+    # eagerly normalizes to (3, 0) — same stream position
+    cur = batch["cursor"]
+    assert (cur.shard, cur.batch_in_shard) in ((2, 1), (3, 0))
 
 
 def test_initialize_distributed_noop():
