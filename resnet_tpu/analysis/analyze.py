@@ -44,6 +44,8 @@ def crosscheck_dump(
     fc_weight: np.ndarray,
     labels: Optional[np.ndarray] = None,
     *,
+    fc_grad: Optional[np.ndarray] = None,
+    pool_grad: Optional[np.ndarray] = None,
     atol: float = 1e-4,
     rtol: float = 1e-4,
 ) -> Dict[str, float]:
@@ -54,8 +56,10 @@ def crosscheck_dump(
       softmax(linear_output) == pred
       global mean of last block output == final_avg_pool
       [if labels] d(loss)/d(logits) = softmax - onehot (summed CE,
-        resnet.cu:1800-1811) and dW_fc = pool^T @ dlogits, dpool =
-        dlogits @ W^T (resnet.cu:1823-1830).
+        resnet.cu:1800-1811), then dW_fc = pool^T @ dlogits and dpool =
+        dlogits @ W^T (resnet.cu:1823-1830) compared BY VALUE against
+        the dumped gradients when fc_grad / pool_grad are provided (the
+        notebook's cells 51-53 value comparison).
     Returns max abs errors per check; raises AssertionError on violation.
     """
     d = load_activation_dump(dump_dir)
@@ -92,6 +96,14 @@ def crosscheck_dump(
         errs["fc_grad_shapes_ok"] = float(
             (dw.shape == w.shape) and (dpool.shape == pool.shape)
         )
+        if fc_grad is not None:
+            errs["fc_grad"] = float(
+                np.abs(dw - np.asarray(fc_grad, np.float64)).max()
+            )
+        if pool_grad is not None:
+            errs["avgpool_grad"] = float(
+                np.abs(dpool - np.asarray(pool_grad, np.float64)).max()
+            )
 
     for name, err in errs.items():
         if name.endswith("_ok"):

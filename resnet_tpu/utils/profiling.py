@@ -63,13 +63,16 @@ def time_fn(
     iters: int = 24,
     warmup: int = 2,
     feedback: Optional[Callable] = None,
+    repeats: int = 3,
 ) -> float:
     """Slope-time a callable: seconds per call on the default device.
 
     Dispatches ``fn(*args)`` n times for two different n and returns the
-    slope, cancelling constant dispatch/sync overhead. ``feedback(out,
-    args) -> args`` chains iterations through a data dependency (use when
-    the op is fast enough that independent dispatches would pipeline)."""
+    slope, cancelling constant dispatch/sync overhead. Iteration counts
+    auto-scale so the slope window is >= ~80ms (sub-ms ops drown in tunnel
+    jitter otherwise); the median of ``repeats`` slopes is returned.
+    ``feedback(out, args) -> args`` chains iterations through a data
+    dependency when independent dispatches would pipeline."""
     jfn = jax.jit(fn)
 
     def run(n):
@@ -84,10 +87,17 @@ def time_fn(
         return time.perf_counter() - t0
 
     run(warmup)  # compile + warm caches
+    rough = run(6) / 6
+    # widen the slope window for fast ops: (n_big - n_small) * percall >= 80ms
+    iters = max(iters, min(512, int(0.08 / max(rough, 1e-5))))
     n_small = max(2, iters // 4)
-    t_small = run(n_small)
-    t_big = run(iters)
-    return (t_big - t_small) / (iters - n_small)
+    slopes = []
+    for _ in range(max(1, repeats)):
+        t_small = run(n_small)
+        t_big = run(iters)
+        slopes.append((t_big - t_small) / (iters - n_small))
+    slopes.sort()
+    return slopes[len(slopes) // 2]
 
 
 def time_grad_fn(fn: Callable, args: Tuple, **kw) -> float:

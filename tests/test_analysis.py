@@ -64,6 +64,42 @@ def test_crosscheck(dumped):
     assert errs["global_avg_pool"] < 1e-4
 
 
+def test_crosscheck_gradient_values(dumped):
+    """Value-level gradient fidelity (notebook cells 51-53): the autodiff
+    FC-weight and avg-pool gradients must equal the numpy recomputation
+    dW = pool^T (softmax - onehot), dpool = dlogits W^T."""
+    import jax.numpy as jnp
+    from resnet_tpu.ops import cross_entropy
+
+    d, params, tape, labels = dumped
+    pool = load_activation_dump(d)["final_avg_pool"]
+
+    # autodiff grads of the summed CE wrt fc weights and wrt the pooled
+    # features (exactly what the reference dumps as gradients/ and
+    # activation-derivs)
+    w = params["fc"]["w"]
+    lbl = jnp.asarray(labels)
+
+    def head_loss(w_, pool_):
+        logits = pool_ @ w_
+        return cross_entropy(logits, lbl, reduction="sum")
+
+    gw, gpool = jax.grad(head_loss, argnums=(0, 1))(w, jnp.asarray(pool))
+    errs = crosscheck_dump(
+        d, np.asarray(w), labels,
+        fc_grad=np.asarray(gw), pool_grad=np.asarray(gpool),
+    )
+    assert errs["fc_grad"] < 1e-4
+    assert errs["avgpool_grad"] < 1e-4
+
+    # adversarial: a corrupted gradient (sign flip) must FAIL the gate
+    with pytest.raises(AssertionError):
+        crosscheck_dump(
+            d, np.asarray(w), labels,
+            fc_grad=-np.asarray(gw), pool_grad=np.asarray(gpool),
+        )
+
+
 def test_ranges_and_divergence(dumped, tmp_path):
     d, *_ = dumped
     rows = activation_ranges(d)

@@ -1,11 +1,11 @@
-"""Golden-activation regression gate.
+"""Golden-activation regression gate (regression only — the *adversarial*
+fidelity gate is tests/test_reference_numpy.py, which compares against an
+independent numpy transliteration of the reference kernels and would catch
+an error this file would freeze in).
 
-The reference's output-fidelity mechanism is comparing dumped activations
-against an independent recomputation (analyze_trainer_dump.ipynb). Here the
-committed golden file freezes the verified fp32 forward of the tiny model
-(seed 1234, fixed input); any future change to init, window geometry, BN
-semantics, or layer wiring that shifts numerics fails this test — the
-cross-round analogue of BASELINE.md's fp32-forward gate.
+The committed golden file snapshots the verified fp32 forward of the tiny
+model (seed 1234, fixed input); any future change to init, window geometry,
+BN semantics, or layer wiring that shifts numerics fails this test.
 """
 
 import os
