@@ -43,6 +43,7 @@ def _load_lib(build: bool = True):
         ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int,
     ]
     lib.loader_next.restype = ctypes.c_int
     lib.loader_next.argtypes = [
@@ -73,6 +74,7 @@ class NativeShardIterator:
         layout: str = "NHWC",
         cursor: Optional[ShardCursor] = None,
         prefetch_depth: int = 4,
+        num_workers: int = 0,  # 0 = auto (min(4, cores), capped at depth)
     ):
         lib = _load_lib()
         if lib is None:
@@ -97,6 +99,7 @@ class NativeShardIterator:
             self.cursor.shard,
             self.cursor.batch_in_shard,
             self.cursor.epoch,
+            num_workers,
         )
         d, c = dataset.image_dim, dataset.channels
         self._img_shape = (

@@ -101,10 +101,24 @@ def time_fn(
 
 
 def time_grad_fn(fn: Callable, args: Tuple, **kw) -> float:
-    """Slope-time forward+backward of a scalar-valued fn w.r.t. args[0]."""
+    """Slope-time forward+backward of fn w.r.t. args[0].
+
+    The loss is sum(y * r) with a fixed random cotangent r — a plain
+    sum(y) hands the backward an all-ones cotangent that XLA constant-
+    folds (e.g. conv backward-data of ones collapses to a reduction),
+    faking a backward far cheaper than training's."""
+    import numpy as np
+
+    out = jax.eval_shape(fn, *args)
+    r = jnp.asarray(
+        np.random.default_rng(7).normal(0, 1, out.shape).astype(np.float32)
+    )
 
     def fwd_bwd(*a):
-        return jax.value_and_grad(lambda x: jnp.sum(fn(x, *a[1:]).astype(jnp.float32)))(a[0])
+        def loss(x):
+            return jnp.sum(fn(x, *a[1:]).astype(jnp.float32) * r)
+
+        return jax.value_and_grad(loss)(a[0])
 
     return time_fn(fwd_bwd, args, **kw)
 
