@@ -263,6 +263,76 @@ def _resolve_pad(x, w, stride, padding):
     )
 
 
+def _phase_decompose(x, w, stride):
+    """Rewrite a strided conv as a dense stride-1 conv on phase planes.
+
+    Mosaic rejects the in-kernel strided reshape-slice a stride-2 window
+    gather needs (strided offsets on the tiled W dim), so the decimation
+    moves OUTSIDE the kernel: the input splits into stride^2 phase planes
+    stacked on the channel dim (z[...,(pa*s+pb)*Ci:] = x[pa::s, pb::s]),
+    and each original tap (i,j) lands in the phase-matched channel block of
+    a smaller dense kernel at offset floor((i-hk)/s). out = conv_s1(z, w4)
+    with asymmetric padding — exactly the reference's centered-window
+    stride geometry (doConvolution, resnet.cu:123-152), space-to-depth
+    style. Returns (z, w4, padding, per-phase channel tiling factor).
+    """
+    n, h, wd, cin = x.shape
+    kh, kw, _, co = w.shape
+    s = stride
+    assert h % s == 0 and wd % s == 0, "phase decomposition needs dim % stride == 0"
+    hk_h, hk_w = kh // 2, kw // 2
+
+    def geom(hk):
+        d_lo = -((hk + s - 1) // s)  # floor(-hk/s)
+        d_hi = hk // s
+        return d_lo, d_hi - d_lo + 1
+
+    d_lo_h, taps_h = geom(hk_h)
+    d_lo_w, taps_w = geom(hk_w)
+
+    z = jnp.concatenate(
+        [x[:, a::s, b::s, :] for a in range(s) for b in range(s)], axis=-1
+    )
+    w4 = jnp.zeros((taps_h, taps_w, s * s * cin, co), w.dtype)
+    for i in range(kh):
+        for j in range(kw):
+            ih, jw = i - hk_h, j - hk_w
+            pa, pb = ih % s, jw % s
+            r_h = (ih - pa) // s - d_lo_h
+            r_w = (jw - pb) // s - d_lo_w
+            blk = (pa * s + pb) * cin
+            w4 = w4.at[r_h, r_w, blk : blk + cin, :].set(w[i, j])
+    padding = ((-d_lo_h, taps_h - 1 + d_lo_h), (-d_lo_w, taps_w - 1 + d_lo_w))
+    return z, w4, padding, s * s
+
+
+def _fused_conv_any_stride(
+    x, w, scale, shift, *, stride, prologue, relu, cap, interpret
+):
+    """Forward dispatch: stride 1 runs the kernel directly; stride > 1 goes
+    through the phase decomposition (dense s1 conv, same output and the
+    same [sum(y), sum(y^2)] epilogue)."""
+    if stride == 1:
+        padding = _resolve_pad(x, w, 1, None)
+        return _fused_conv_raw(
+            x, w, scale, shift, stride=1, padding=padding,
+            prologue=prologue, relu=relu, cap=cap, interpret=interpret,
+        )
+    z, w4, padding, tile = _phase_decompose(x, w, stride)
+    cin = x.shape[-1]
+
+    def per_phase(v):  # broadcast (1,)-placeholders to cin, then tile
+        vv = jnp.broadcast_to(jnp.asarray(v, jnp.float32).reshape(-1), (cin,))
+        return jnp.tile(vv, tile)
+
+    scale4 = per_phase(scale)
+    shift4 = per_phase(shift)
+    return _fused_conv_raw(
+        z, w4, scale4, shift4, stride=1, padding=padding,
+        prologue=prologue, relu=relu, cap=cap, interpret=interpret,
+    )
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
 def fused_conv(
     x, w, scale, shift, stride=1, padding=None, prologue=True, relu=True,
@@ -275,20 +345,31 @@ def fused_conv(
     cap clips the prologue ReLU (the fast variant's clipped activation,
     resnet_cudnn_fast.cu:1143-1145).
     """
-    padding = _resolve_pad(x, w, stride, padding)
-    return _fused_conv_raw(
-        x, w, scale, shift, stride=stride, padding=padding,
+    if padding is not None:
+        # explicit padding: direct kernel path (strided window gather in
+        # kernel — interpret-mode only for stride > 1)
+        return _fused_conv_raw(
+            x, w, scale, shift, stride=stride, padding=padding,
+            prologue=prologue, relu=relu, cap=cap, interpret=interpret,
+        )
+    return _fused_conv_any_stride(
+        x, w, scale, shift, stride=stride,
         prologue=prologue, relu=relu, cap=cap, interpret=interpret,
     )
 
 
 def _fused_conv_fwd(x, w, scale, shift, stride, padding, prologue, relu,
                     interpret, cap):
-    padding = _resolve_pad(x, w, stride, padding)
-    y, sums = _fused_conv_raw(
-        x, w, scale, shift, stride=stride, padding=padding,
-        prologue=prologue, relu=relu, cap=cap, interpret=interpret,
-    )
+    if padding is not None:
+        y, sums = _fused_conv_raw(
+            x, w, scale, shift, stride=stride, padding=padding,
+            prologue=prologue, relu=relu, cap=cap, interpret=interpret,
+        )
+    else:
+        y, sums = _fused_conv_any_stride(
+            x, w, scale, shift, stride=stride,
+            prologue=prologue, relu=relu, cap=cap, interpret=interpret,
+        )
     return (y, sums), (x, w, scale, shift, y)
 
 
