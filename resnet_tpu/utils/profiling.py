@@ -110,17 +110,21 @@ def time_grad_fn(fn: Callable, args: Tuple, **kw) -> float:
     import numpy as np
 
     out = jax.eval_shape(fn, *args)
-    r = jnp.asarray(
+    # r rides as an ARGUMENT: closing over it would bake a multi-MB literal
+    # into the HLO and blow the remote compile request size limit
+    r = jax.device_put(
         np.random.default_rng(7).normal(0, 1, out.shape).astype(np.float32)
     )
 
     def fwd_bwd(*a):
+        rr = a[-1]
+
         def loss(x):
-            return jnp.sum(fn(x, *a[1:]).astype(jnp.float32) * r)
+            return jnp.sum(fn(x, *a[1:-1]).astype(jnp.float32) * rr)
 
         return jax.value_and_grad(loss)(a[0])
 
-    return time_fn(fwd_bwd, args, **kw)
+    return time_fn(fwd_bwd, tuple(args) + (r,), **kw)
 
 
 # --------------------------------------------------------------------------
