@@ -12,6 +12,13 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# honor JAX_PLATFORMS even when a sitecustomize force-registered another
+# backend (it overrides the env var at import time)
+import jax  # noqa: E402
+
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 from resnet_tpu.config import (
     DataConfig,
     ExecutionConfig,
