@@ -1,0 +1,113 @@
+"""Micro-benchmark: XLA op chain vs the fused Pallas conv at the hot
+ResNet-50 shapes.
+
+docs/optable_r2.json attributes the step time to memory-bound 1x1 convs
+(~360 GB/s effective, half of achievable) plus standalone BN stats/apply
+passes. The fused kernel (kernels/fused_conv.py) rides the BN apply on the
+conv's input read and the BN stats on its output write — this tool measures
+whether that actually beats XLA per-op on real hardware (round 1 found
+whole-model Pallas conv paths slower; 1x1 is a pure matmul, no window
+gather, so it may differ).
+
+Per shape, two contenders computing the SAME function
+  y = conv(relu(x*scale+shift), w); sums = [sum(y), sum(y^2)]:
+  * xla:   ops/dispatch bn-apply + conv2d + one-pass batch_moments
+  * fused: kernels/fused_conv.fused_conv
+
+Prints one JSON line per (shape, engine, direction).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--iters", type=int, default=24)
+    ap.add_argument("--shapes", nargs="*", default=[
+        "s1_reduce", "s1_expand", "s1_3x3", "s3_reduce", "s2_proj",
+    ])
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from resnet_tpu.kernels.fused_conv import fused_conv
+    from resnet_tpu.ops.batchnorm import batch_moments
+    from resnet_tpu.ops.conv import conv2d
+    from resnet_tpu.utils.profiling import time_fn
+
+    b = args.batch
+    SHAPES = {
+        # name: (x_shape, k, cout, stride)
+        "s1_reduce": ((b, 56, 56, 256), 1, 64, 1),
+        "s1_expand": ((b, 56, 56, 64), 1, 256, 1),
+        "s1_3x3": ((b, 56, 56, 64), 3, 64, 1),
+        "s3_reduce": ((b, 14, 14, 1024), 1, 256, 1),
+        "s2_proj": ((b, 56, 56, 256), 3, 512, 2),
+    }
+    rng = np.random.default_rng(0)
+
+    for name in args.shapes:
+        xs, k, cout, stride = SHAPES[name]
+        cin = xs[-1]
+        x = jax.device_put(rng.normal(0, 1, xs).astype(np.float32)).astype(
+            jnp.bfloat16
+        )
+        w = jax.device_put(
+            rng.normal(0, 0.05, (k, k, cin, cout)).astype(np.float32)
+        ).astype(jnp.bfloat16)
+        scale = jax.device_put(rng.normal(1, 0.1, (cin,)).astype(np.float32))
+        shift = jax.device_put(rng.normal(0, 0.1, (cin,)).astype(np.float32))
+
+        def xla_fn(x, w, scale, shift):
+            u = jnp.maximum(
+                x.astype(jnp.float32) * scale + shift, 0.0
+            ).astype(x.dtype)
+            y = conv2d(u, w, stride=stride, layout="NHWC", precision="default")
+            m, v = batch_moments(y, "NHWC")
+            return y, m, v
+
+        def fused_fn(x, w, scale, shift):
+            y, sums = fused_conv(x, w, scale, shift, stride, None, True, True)
+            return y, sums
+
+        traffic = (np.prod(xs) + np.prod(xs[:3]) // stride**2 * cout) * 2
+
+        for engine, fn in (("xla", xla_fn), ("fused", fused_fn)):
+            try:
+                dt = time_fn(fn, (x, w, scale, shift), iters=args.iters)
+                row = {"shape": name, "engine": engine,
+                       "ms_fwd": round(dt * 1e3, 3),
+                       "gbps_eff": round(traffic / dt / 1e9, 1)}
+                # fwd+bwd wrt x and w (random cotangent on y)
+                r = jax.device_put(
+                    rng.normal(0, 1, jax.eval_shape(
+                        fn, x, w, scale, shift)[0].shape).astype(np.float32))
+
+                def fwd_bwd(x, w, scale, shift, r):
+                    def loss(args2):
+                        y, *_ = fn(args2[0], args2[1], scale, shift)
+                        return jnp.sum(y.astype(jnp.float32) * r)
+                    return jax.value_and_grad(loss)((x, w))
+
+                dt2 = time_fn(fwd_bwd, (x, w, scale, shift, r),
+                              iters=args.iters)
+                row["ms_fwd_bwd"] = round(dt2 * 1e3, 3)
+                print(json.dumps(row), flush=True)
+            except Exception as e:
+                print(json.dumps({"shape": name, "engine": engine,
+                                  "error": str(e)[:300]}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
