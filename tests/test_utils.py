@@ -97,3 +97,18 @@ def test_debug_print_tensor(monkeypatch, capfd):
     jax.jit(lambda x: (dbg.debug_print_tensor("loud", x), x * 2)[1])(x).block_until_ready()
     out = capfd.readouterr().out + capfd.readouterr().err
     assert "loud" in out
+
+
+def test_time_fn_slope_timer():
+    """time_fn/time_grad_fn return sane positive per-call times."""
+    import jax.numpy as jnp
+    from resnet_tpu.utils.profiling import time_fn, time_grad_fn
+
+    import numpy as np
+
+    x = jnp.asarray(np.random.default_rng(0).normal(0, 1, (256, 256)), jnp.float32)
+    w = jnp.asarray(np.random.default_rng(1).normal(0, 1, (256, 256)), jnp.float32)
+    dt = time_fn(lambda a, b: a @ b, (x, w), iters=8, repeats=1)
+    assert 0 < dt < 1.0
+    dt2 = time_grad_fn(lambda a, b: a @ b, (x, w), iters=8, repeats=1)
+    assert 0 < dt2 < 1.0
