@@ -29,6 +29,11 @@ def main():
     ap.add_argument("--remat", default="none")
     ap.add_argument("--kernels", default="xla",
                     choices=["xla", "pallas", "fused"])
+    ap.add_argument("--scan", type=int, default=0,
+                    help="K>0: run K train steps inside ONE jitted lax.scan"
+                         " (device-side loop, the shape of a real TPU input"
+                         " pipeline) — isolates device throughput from"
+                         " per-dispatch host/tunnel latency")
     args = ap.parse_args()
 
     from resnet_tpu.config import (
@@ -59,6 +64,25 @@ def main():
 
     state = init_train_state(cfg)
     step = make_train_step(cfg)
+    if args.scan:
+        import functools
+
+        from jax import lax
+
+        from resnet_tpu.train.step import train_step
+
+        k = args.scan
+        fn = functools.partial(train_step, cfg=cfg)
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def step(state, b):  # noqa: F811  (same call contract)
+            def body(s, _):
+                s2, m = fn(s, b)
+                return s2, None
+
+            state2, _ = lax.scan(body, state, None, length=k)
+            _, metrics = fn(state2, b)
+            return state2, metrics
 
     rng = np.random.default_rng(0)
     images = jax.device_put(
@@ -86,6 +110,8 @@ def main():
     t_big, state = run_n(state, args.steps)
     # slope removes the constant device_get/dispatch overhead
     dt_per_step = (t_big - t_small) / (args.steps - n_small)
+    if args.scan:
+        dt_per_step /= args.scan + 1  # K scanned steps + 1 metrics step
     img_per_sec = batch / dt_per_step
     n_chips = max(1, len(jax.devices()))
     per_chip = img_per_sec / n_chips

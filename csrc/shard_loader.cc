@@ -188,11 +188,25 @@ bool read_exact(int fd, void* dst, size_t n, off_t off) {
 
 // NCHW (C,H,W per image) -> NHWC repack of one image.
 void repack_chw_to_hwc(const float* src, float* dst, int c, int h, int w) {
+  const int64_t hw = static_cast<int64_t>(h) * w;
+  if (c == 3) {
+    // RGB fast path: one pass with fully sequential writes (the generic
+    // loop writes stride-c floats c times over, defeating write-combining)
+    const float* r = src;
+    const float* g = src + hw;
+    const float* b = src + 2 * hw;
+    for (int64_t i = 0; i < hw; ++i) {
+      dst[3 * i] = r[i];
+      dst[3 * i + 1] = g[i];
+      dst[3 * i + 2] = b[i];
+    }
+    return;
+  }
   for (int ch = 0; ch < c; ++ch) {
-    const float* s = src + static_cast<int64_t>(ch) * h * w;
+    const float* s = src + static_cast<int64_t>(ch) * hw;
     float* d = dst + ch;
-    for (int i = 0; i < h * w; ++i) {
-      d[static_cast<int64_t>(i) * c] = s[i];
+    for (int64_t i = 0; i < hw; ++i) {
+      d[i * c] = s[i];
     }
   }
 }
@@ -313,8 +327,11 @@ void* loader_create(const char* dir, int num_shards, int shard_images,
   L->read_cursor = {start_shard, start_batch, start_epoch};
   L->shard_batches.assign(num_shards, -1);
   if (num_workers <= 0) {
+    // conservative default: reads are page-cache/memory-bandwidth bound on
+    // typical hosts and extra workers mostly contend (measured); deeper
+    // parallelism is opt-in via the num_workers arg
     unsigned hc = std::thread::hardware_concurrency();
-    num_workers = hc ? static_cast<int>(hc < 4u ? hc : 4u) : 2;
+    num_workers = hc >= 2 ? 2 : 1;
   }
   if (num_workers > L->prefetch_depth) num_workers = L->prefetch_depth;
   for (int i = 0; i < num_workers; ++i) L->workers.emplace_back(worker_main, L);
