@@ -43,9 +43,10 @@ from ..ops.padding import reference_padding
 
 
 def _fused_conv_kernel(
-    x_ref, w_ref, scale_ref, shift_ref, o_ref, sums_ref, acc_ref, xbuf_ref,
-    *, kh, kw, stride, ho, wo, nb, prologue, relu, cap, valid,
+    x_ref, w_ref, scale_ref, shift_ref, o_ref, sums_ref, acc_ref, *scratch,
+    kh, kw, stride, ho, wo, nb, prologue, relu, cap, valid,
 ):
+    xbuf_ref = scratch[0] if scratch else None  # big-kernel tap buffer only
     """Grid (co_tiles, n/nb): image-batch innermost so the sums block stays
     resident in VMEM across the accumulation. nb images per step keeps the
     tap matmuls MXU-sized even at 7x7 spatial (M = nb*ho*wo rows)."""
@@ -139,15 +140,27 @@ def _fused_conv_raw(
     )
 
     # images per grid step: target >= ~2048 matmul rows, bounded by VMEM
+    big_kernel = kh * kw > 9
+    el = x.dtype.itemsize
+
+    def vmem_need(nb):
+        # in/out/w blocks are double-buffered across grid steps by the
+        # Mosaic pipeline; acc/xbuf scratch are single instances
+        xb = 2 * nb * hp * wp * cin * el
+        wb = 2 * kh * kw * cin * block_co * el
+        ob = 2 * nb * ho * wo * block_co * el
+        ac = 4 * nb * ho * wo * block_co  # fp32 accumulator
+        xbuf = nb * hp * wp * cin * el if big_kernel else 0
+        return xb + wb + ob + ac + xbuf
+
     nb = max(1, min(n, 2048 // (ho * wo)))
     while n % nb:
         nb -= 1
-    vmem_in = nb * hp * wp * cin * x.dtype.itemsize
-    while nb > 1 and vmem_in > 6 * 1024 * 1024:
+    # 16MB scoped-vmem limit on v5e; leave headroom for Mosaic's own state
+    while nb > 1 and vmem_need(nb) > 13 * 1024 * 1024:
         nb = max(1, nb // 2)
         while n % nb:
             nb -= 1
-        vmem_in = nb * hp * wp * cin * x.dtype.itemsize
 
     out, sums = pl.pallas_call(
         functools.partial(
@@ -174,10 +187,13 @@ def _fused_conv_raw(
             jax.ShapeDtypeStruct((n, ho, wo, coutp), x.dtype),
             jax.ShapeDtypeStruct((2, coutp), jnp.float32),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((nb * ho * wo, block_co), jnp.float32),
-            pltpu.VMEM((nb, hp, wp, cin), x.dtype),
-        ],
+        scratch_shapes=(
+            [pltpu.VMEM((nb * ho * wo, block_co), jnp.float32)]
+            # tap buffer only for large (7x7 stem) kernels — allocating it
+            # unconditionally doubled input VMEM and OOM'd the 16MB scoped
+            # budget on the phase-decomposed projection convs
+            + ([pltpu.VMEM((nb, hp, wp, cin), x.dtype)] if big_kernel else [])
+        ),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * n * ho * wo * kh * kw * cin * cout,
