@@ -160,6 +160,26 @@ class ExecutionConfig:
     # Run Pallas kernels in interpreter mode (CPU testing); None = auto
     # (interpret unless running on real TPU).
     pallas_interpret: Optional[bool] = None
+    # Scoped-VMEM compiler budget (KiB) for the jitted step. Mosaic's stack
+    # allocation for the fused whole-block kernels can exceed the 16MB
+    # compiler default even when the block working set fits comfortably in
+    # v5e's 128MB physical VMEM; None = compiler default (fused engine
+    # auto-raises to 32MB). Rides per-jit compiler_options — env XLA_FLAGS
+    # does not reach the remote compile helper on tunneled stacks.
+    scoped_vmem_limit_kib: Optional[int] = None
+
+    def jit_compiler_options(self) -> dict:
+        """Per-jit XLA compiler options implied by this config (TPU only)."""
+        import jax
+
+        if jax.default_backend() != "tpu":
+            return {}
+        limit = self.scoped_vmem_limit_kib
+        if limit is None and self.kernels == "fused":
+            limit = 32768
+        if not limit:
+            return {}
+        return {"xla_tpu_scoped_vmem_limit_kib": str(limit)}
 
     def resolve_interpret(self) -> bool:
         if self.pallas_interpret is not None:

@@ -128,7 +128,42 @@ def _fused_conv_raw(
     )
     hp, wp = xp.shape[1], xp.shape[2]
 
+    # images per grid step: target >= ~2048 matmul rows, bounded by VMEM
+    big_kernel = kh * kw > 9
+    el = x.dtype.itemsize
+
+    def vmem_need(nb, bco):
+        # in/out/w blocks are double-buffered across grid steps by the
+        # Mosaic pipeline; acc/xbuf scratch are single instances
+        xb = 2 * nb * hp * wp * cin * el
+        wb = 2 * kh * kw * cin * bco * el
+        ob = 2 * nb * ho * wo * bco * el
+        ac = 4 * nb * ho * wo * bco  # fp32 accumulator
+        xbuf = nb * hp * wp * cin * el if big_kernel else 0
+        return xb + wb + ob + ac + xbuf
+
+    # Mosaic's real stack allocation runs ~1.35x this estimate (measured on
+    # the 2x2x2048->1024 phase-plane conv: est 12.9MB -> 17.44MB actual), so
+    # budget well under the 16MB scoped-vmem default; if even one image per
+    # step overflows, shrink the output-channel tile before giving up
+    BUDGET = 10 * 1024 * 1024
+
+    def pick_nb(bco):
+        nb = max(1, min(n, 2048 // (ho * wo)))
+        while n % nb:
+            nb -= 1
+        while nb > 1 and vmem_need(nb, bco) > BUDGET:
+            nb = max(1, nb // 2)
+            while n % nb:
+                nb -= 1
+        return nb
+
     block_co = min(cout, 256)
+    nb = pick_nb(block_co)
+    while block_co > 128 and vmem_need(nb, block_co) > BUDGET:
+        block_co //= 2
+        nb = pick_nb(block_co)
+
     copad = (-cout) % block_co
     wpad = jnp.pad(w, ((0, 0), (0, 0), (0, 0), (0, copad))) if copad else w
     coutp = cout + copad
@@ -138,29 +173,6 @@ def _fused_conv_raw(
     shift_row = jnp.broadcast_to(
         jnp.asarray(shift, jnp.float32).reshape(1, -1), (1, cin)
     )
-
-    # images per grid step: target >= ~2048 matmul rows, bounded by VMEM
-    big_kernel = kh * kw > 9
-    el = x.dtype.itemsize
-
-    def vmem_need(nb):
-        # in/out/w blocks are double-buffered across grid steps by the
-        # Mosaic pipeline; acc/xbuf scratch are single instances
-        xb = 2 * nb * hp * wp * cin * el
-        wb = 2 * kh * kw * cin * block_co * el
-        ob = 2 * nb * ho * wo * block_co * el
-        ac = 4 * nb * ho * wo * block_co  # fp32 accumulator
-        xbuf = nb * hp * wp * cin * el if big_kernel else 0
-        return xb + wb + ob + ac + xbuf
-
-    nb = max(1, min(n, 2048 // (ho * wo)))
-    while n % nb:
-        nb -= 1
-    # 16MB scoped-vmem limit on v5e; leave headroom for Mosaic's own state
-    while nb > 1 and vmem_need(nb) > 13 * 1024 * 1024:
-        nb = max(1, nb // 2)
-        while n % nb:
-            nb -= 1
 
     out, sums = pl.pallas_call(
         functools.partial(

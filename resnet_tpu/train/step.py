@@ -184,6 +184,9 @@ def make_train_step(cfg: TrainConfig, mesh=None, donate: bool = True):
     """
     fn = functools.partial(train_step, cfg=cfg)
     kwargs: Dict[str, Any] = {}
+    copts = cfg.execution.jit_compiler_options()
+    if copts:
+        kwargs["compiler_options"] = copts
     if donate:
         kwargs["donate_argnums"] = (0,)
     if mesh is not None:
@@ -202,6 +205,9 @@ def make_train_step(cfg: TrainConfig, mesh=None, donate: bool = True):
 def make_eval_step(cfg: TrainConfig, mesh=None):
     fn = functools.partial(eval_step, cfg=cfg)
     kwargs: Dict[str, Any] = {}
+    copts = cfg.execution.jit_compiler_options()
+    if copts:
+        kwargs["compiler_options"] = copts
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 

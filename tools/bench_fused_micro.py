@@ -36,6 +36,8 @@ def main():
     ap.add_argument("--shapes", nargs="*", default=[
         "s1_reduce", "s1_expand", "s1_3x3", "s3_reduce", "s2_proj",
     ])
+    ap.add_argument("--fwd-only", action="store_true",
+                    help="skip the fwd+bwd timing (halves compile count)")
     args = ap.parse_args()
 
     import jax
@@ -52,8 +54,18 @@ def main():
         "s1_reduce": ((b, 56, 56, 256), 1, 64, 1),
         "s1_expand": ((b, 56, 56, 64), 1, 256, 1),
         "s1_3x3": ((b, 56, 56, 64), 3, 64, 1),
+        "s2_reduce": ((b, 28, 28, 512), 1, 128, 1),
+        "s2_3x3": ((b, 28, 28, 128), 3, 128, 1),
+        "s2_expand": ((b, 28, 28, 128), 1, 512, 1),
+        "s2_3x3s2": ((b, 56, 56, 128), 3, 128, 2),
         "s3_reduce": ((b, 14, 14, 1024), 1, 256, 1),
+        "s3_3x3": ((b, 14, 14, 256), 3, 256, 1),
+        "s3_expand": ((b, 14, 14, 256), 1, 1024, 1),
+        "s4_reduce": ((b, 7, 7, 2048), 1, 512, 1),
+        "s4_3x3": ((b, 7, 7, 512), 3, 512, 1),
+        "s4_expand": ((b, 7, 7, 512), 1, 2048, 1),
         "s2_proj": ((b, 56, 56, 256), 3, 512, 2),
+        "s4_proj": ((b, 14, 14, 1024), 3, 2048, 2),
     }
     rng = np.random.default_rng(0)
 
@@ -89,6 +101,9 @@ def main():
                 row = {"shape": name, "engine": engine,
                        "ms_fwd": round(dt * 1e3, 3),
                        "gbps_eff": round(traffic / dt / 1e9, 1)}
+                if args.fwd_only:
+                    print(json.dumps(row), flush=True)
+                    continue
                 # fwd+bwd wrt x and w (random cotangent on y)
                 r = jax.device_put(
                     rng.normal(0, 1, jax.eval_shape(
