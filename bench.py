@@ -28,7 +28,10 @@ def main():
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--remat", default="none")
     ap.add_argument("--kernels", default="xla",
-                    choices=["xla", "pallas", "fused"])
+                    choices=["xla", "pallas", "fused", "hybrid"])
+    ap.add_argument("--bn-mode", default="batch",
+                    choices=["batch", "frozen", "off"],
+                    help="'frozen'/'off' are perf-attribution ablations")
     ap.add_argument("--scan", type=int, default=0,
                     help="K>0: run K train steps inside ONE jitted lax.scan"
                          " (device-side loop, the shape of a real TPU input"
@@ -57,6 +60,7 @@ def main():
             compute_dtype=args.dtype,
             matmul_precision="default",
             remat=args.remat,
+            bn_mode=args.bn_mode,
         ),
         optimizer=OptimizerConfig(),
         data=DataConfig(batch_size=batch, synthetic=True),

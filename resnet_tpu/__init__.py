@@ -24,6 +24,12 @@ def _enable_compile_cache() -> None:
     want = _os.environ.get("RESNET_TPU_COMPILE_CACHE", "1")
     if want == "0" or _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
         return
+    # CPU runs skip the auto-cache: CPU AOT results bake in the compiling
+    # machine's ISA features (observed: cache entries with AMX/AVX512
+    # features the local host lacks -> SIGILL risk). TPU executables are
+    # target-keyed, and the minutes-long tunnel compiles are the point.
+    if want == "1" and "cpu" in _os.environ.get("JAX_PLATFORMS", "").lower():
+        return
     path = (
         want
         if want not in ("", "1")

@@ -157,6 +157,15 @@ class ExecutionConfig:
     # Clipped ReLU ceiling (the cuDNN-fast variant caps activations at 10,
     # resnet_cudnn_fast.cu:1143-1145). None = unbounded ReLU.
     relu_cap: Optional[float] = None
+    # BatchNorm mode during training:
+    #   'batch'  batch statistics (the reference's training semantics,
+    #            resnet.cu:289 — no running stats feed the forward)
+    #   'frozen' normalize with the running statistics even in train mode
+    #            (standard frozen-BN fine-tuning; also isolates the cost of
+    #            batch-stats computation in benchmarks)
+    #   'off'    skip normalization entirely (ReLU only) — diagnostic
+    #            ablation for perf attribution, not a training config
+    bn_mode: str = "batch"
     # Run Pallas kernels in interpreter mode (CPU testing); None = auto
     # (interpret unless running on real TPU).
     pallas_interpret: Optional[bool] = None
@@ -175,7 +184,7 @@ class ExecutionConfig:
         if jax.default_backend() != "tpu":
             return {}
         limit = self.scoped_vmem_limit_kib
-        if limit is None and self.kernels == "fused":
+        if limit is None and self.kernels in ("fused", "hybrid"):
             limit = 32768
         if not limit:
             return {}

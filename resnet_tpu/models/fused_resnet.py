@@ -38,6 +38,59 @@ def _stats(sums, m):
     return mean, var
 
 
+# Measured per-shape winners for the Pallas fused conv over the XLA chain
+# (apply + conv + moments), v5e b256 bf16, slope-timed forward
+# (tools/bench_fused_micro.py). This is the TPU analogue of the reference's
+# per-layer cudnnFind algo cache (resnet_cudnn_fast.cu:1275-1303): measure
+# both engines per layer shape once, dispatch to the winner. Keys:
+# (hw, cin, cout, k, stride).
+_FUSED_WINS = {
+    (56, 64, 256, 1, 1),    # s1 expand: 2.73 -> 1.75 ms
+    (14, 256, 256, 3, 1),   # s3 3x3:    0.78 -> 0.70 ms
+    (14, 256, 1024, 1, 1),  # s3 expand: 1.89 -> 1.22 ms
+}
+
+
+def _conv_chain_xla(x, w, scale, shift, stride, prologue, relu, cap, prec):
+    """XLA realization of the fused_conv contract: bn-apply on the input
+    (XLA fuses it into the conv read), autotuned conv, one-pass moments on
+    the output. Returns (y, [sum(y), sum(y^2)]) exactly like fused_conv."""
+    from ..ops.batchnorm import batch_moments
+    from ..ops.conv import conv2d
+
+    if prologue:
+        u = x.astype(jnp.float32) * scale + shift
+        if relu:
+            u = jnp.maximum(u, 0.0)
+            if cap is not None:
+                u = jnp.minimum(u, cap)
+        u = u.astype(x.dtype)
+    else:
+        u = x
+    y = conv2d(u, w.astype(x.dtype), stride=stride, layout="NHWC",
+               precision=prec)
+    mean, var = batch_moments(y, "NHWC")
+    m = y.shape[0] * y.shape[1] * y.shape[2]
+    sums = jnp.stack([mean * m, (var + mean * mean) * m])
+    return y, sums
+
+
+def _conv_site(x, w, scale, shift, stride, prologue, relu, interp, cap,
+               ecfg: ExecutionConfig):
+    """Per-layer engine dispatch: Pallas fused conv where measured faster,
+    the XLA chain elsewhere (kernels='hybrid'); kernels='fused' forces the
+    Pallas kernel everywhere (parity/testing)."""
+    if ecfg.kernels == "hybrid":
+        key = (x.shape[1], x.shape[3], w.shape[3], w.shape[0], stride)
+        if key not in _FUSED_WINS:
+            return _conv_chain_xla(
+                x, w, scale, shift, stride, prologue, relu, cap,
+                ecfg.matmul_precision,
+            )
+    return fused_conv(x, w, scale, shift, stride, None, prologue, relu,
+                      interp, cap)
+
+
 def fused_forward(
     params,
     x: jax.Array,
@@ -84,21 +137,21 @@ def fused_forward(
         if not mcfg.bottleneck:
             # basic block (resnet18/34): conv1 -> BN+ReLU -> conv2 -> BN,
             # join with (projected) residual
-            c1, sums_1 = fused_conv(out, bp["conv1"]["w"], ones, zeros,
-                                    stride, None, False, False, interp)
+            c1, sums_1 = _conv_site(out, bp["conv1"]["w"], ones, zeros,
+                                    stride, False, False, interp, None, ecfg)
             m_1 = c1.shape[0] * c1.shape[1] * c1.shape[2]
             bstats["bn1"] = _stats(sums_1, m_1)
             sc_1, sh_1 = affine(sums_1, bp["bn1"], m_1)
 
-            c2, sums_2 = fused_conv(c1, bp["conv2"]["w"], sc_1, sh_1,
-                                    1, None, True, True, interp, cap)
+            c2, sums_2 = _conv_site(c1, bp["conv2"]["w"], sc_1, sh_1,
+                                    1, True, True, interp, cap, ecfg)
             m_2 = c2.shape[0] * c2.shape[1] * c2.shape[2]
             bstats["bn2"] = _stats(sums_2, m_2)
             sc_2, sh_2 = affine(sums_2, bp["bn2"], m_2)
 
             if "proj" in bp:
-                p, sums_p = fused_conv(out, bp["proj"]["w"], ones, zeros,
-                                       stride, None, False, False, interp)
+                p, sums_p = _conv_site(out, bp["proj"]["w"], ones, zeros,
+                                       stride, False, False, interp, None, ecfg)
                 m_p = p.shape[0] * p.shape[1] * p.shape[2]
                 bstats["bn_proj"] = _stats(sums_p, m_p)
                 sc_p, sh_p = affine(sums_p, bp["bn_proj"], m_p)
@@ -113,27 +166,27 @@ def fused_forward(
             block_stats.append(bstats)
             continue
 
-        r, sums_r = fused_conv(out, bp["reduce"]["w"], ones, zeros,
-                               1, None, False, False, interp)
+        r, sums_r = _conv_site(out, bp["reduce"]["w"], ones, zeros,
+                               1, False, False, interp, None, ecfg)
         m_r = r.shape[0] * r.shape[1] * r.shape[2]
         bstats["bn_reduce"] = _stats(sums_r, m_r)
         sc_r, sh_r = affine(sums_r, bp["bn_reduce"], m_r)
 
-        s_, sums_s = fused_conv(r, bp["spatial"]["w"], sc_r, sh_r,
-                                stride, None, True, True, interp, cap)
+        s_, sums_s = _conv_site(r, bp["spatial"]["w"], sc_r, sh_r,
+                                stride, True, True, interp, cap, ecfg)
         m_s = s_.shape[0] * s_.shape[1] * s_.shape[2]
         bstats["bn_spatial"] = _stats(sums_s, m_s)
         sc_s, sh_s = affine(sums_s, bp["bn_spatial"], m_s)
 
-        e, sums_e = fused_conv(s_, bp["expand"]["w"], sc_s, sh_s,
-                               1, None, True, True, interp, cap)
+        e, sums_e = _conv_site(s_, bp["expand"]["w"], sc_s, sh_s,
+                               1, True, True, interp, cap, ecfg)
         m_e = e.shape[0] * e.shape[1] * e.shape[2]
         bstats["bn_expand"] = _stats(sums_e, m_e)
         sc_e, sh_e = affine(sums_e, bp["bn_expand"], m_e)
 
         if "proj" in bp:
-            p, sums_p = fused_conv(out, bp["proj"]["w"], ones, zeros,
-                                   stride, None, False, False, interp)
+            p, sums_p = _conv_site(out, bp["proj"]["w"], ones, zeros,
+                                   stride, False, False, interp, None, ecfg)
             m_p = p.shape[0] * p.shape[1] * p.shape[2]
             bstats["bn_proj"] = _stats(sums_p, m_p)
             sc_p, sh_p = affine(sums_p, bp["bn_proj"], m_p)

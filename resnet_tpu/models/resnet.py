@@ -64,15 +64,30 @@ def _conv(x, w, *, stride, ecfg, groups=1):
 
 
 def _bn_apply(x, bn_params, *, eps, layout, state=None, train=True,
-              relu_fused=False, relu_cap=None, engine="xla", interpret=False):
+              relu_fused=False, relu_cap=None, engine="xla", interpret=False,
+              mode="batch"):
     """BN in train (batch stats) or eval (running stats) mode, with the
     following ReLU fused in when relu_fused=True (doBatchNormAndActivate,
     resnet.cu:289). Returns (y, (mean, var)).
+
+    mode='frozen' normalizes with running stats even in train mode
+    (frozen-BN fine-tuning); mode='off' skips normalization (diagnostic).
     """
+    if mode == "off":
+        y = x
+        if relu_fused:
+            y = jnp.maximum(y, jnp.zeros((), y.dtype))
+            if relu_cap is not None:
+                y = jnp.minimum(y, jnp.asarray(relu_cap, y.dtype))
+        c = x.shape[-1] if layout == "NHWC" else x.shape[1]
+        zero = jnp.zeros((c,), jnp.float32)
+        return y, (zero, zero + 1.0)
     mean = var = None
-    if not train:
+    if not train or mode == "frozen":
         if state is None:
-            raise ValueError("eval-mode BN requires running statistics")
+            raise ValueError(
+                "eval-mode/frozen BN requires running statistics"
+            )
         mean, var = state["mean"], state["var"]
     return bn_act(
         x, bn_params["gamma"], bn_params["beta"], eps=eps, layout=layout,
@@ -96,7 +111,7 @@ def _bottleneck_block(
     out, stats["bn_reduce"] = _bn_apply(
         out, block_params["bn_reduce"], eps=eps, layout=layout,
         state=None if state is None else state["bn_reduce"], train=train,
-        relu_fused=True, relu_cap=ecfg.relu_cap, engine=engine, interpret=interp,
+        relu_fused=True, relu_cap=ecfg.relu_cap, engine=engine, interpret=interp, mode=ecfg.bn_mode,
     )
 
     out = _conv(
@@ -108,7 +123,7 @@ def _bottleneck_block(
     out, stats["bn_spatial"] = _bn_apply(
         out, block_params["bn_spatial"], eps=eps, layout=layout,
         state=None if state is None else state["bn_spatial"], train=train,
-        relu_fused=True, relu_cap=ecfg.relu_cap, engine=engine, interpret=interp,
+        relu_fused=True, relu_cap=ecfg.relu_cap, engine=engine, interpret=interp, mode=ecfg.bn_mode,
     )
 
     out = _conv(out, block_params["expand"]["w"], stride=1, ecfg=ecfg)
@@ -117,7 +132,7 @@ def _bottleneck_block(
     out, stats["bn_expand"] = _bn_apply(
         out, block_params["bn_expand"], eps=eps, layout=layout,
         state=None if state is None else state["bn_expand"], train=train,
-        engine=engine, interpret=interp,
+        engine=engine, interpret=interp, mode=ecfg.bn_mode,
     )
 
     if "proj" in block_params:
@@ -125,7 +140,7 @@ def _bottleneck_block(
         residual, stats["bn_proj"] = _bn_apply(
             residual, block_params["bn_proj"], eps=eps, layout=layout,
             state=None if state is None else state["bn_proj"], train=train,
-            engine=engine, interpret=interp,
+            engine=engine, interpret=interp, mode=ecfg.bn_mode,
         )
         if tape is not None:
             tape["transformed_residual"] = residual
@@ -151,13 +166,13 @@ def _basic_block(
     out, stats["bn1"] = _bn_apply(
         out, block_params["bn1"], eps=eps, layout=layout,
         state=None if state is None else state["bn1"], train=train,
-        relu_fused=True, relu_cap=ecfg.relu_cap, engine=engine, interpret=interp,
+        relu_fused=True, relu_cap=ecfg.relu_cap, engine=engine, interpret=interp, mode=ecfg.bn_mode,
     )
     out = _conv(out, block_params["conv2"]["w"], stride=1, ecfg=ecfg)
     out, stats["bn2"] = _bn_apply(
         out, block_params["bn2"], eps=eps, layout=layout,
         state=None if state is None else state["bn2"], train=train,
-        engine=engine, interpret=interp,
+        engine=engine, interpret=interp, mode=ecfg.bn_mode,
     )
 
     if "proj" in block_params:
@@ -165,7 +180,7 @@ def _basic_block(
         residual, stats["bn_proj"] = _bn_apply(
             residual, block_params["bn_proj"], eps=eps, layout=layout,
             state=None if state is None else state["bn_proj"], train=train,
-            engine=engine, interpret=interp,
+            engine=engine, interpret=interp, mode=ecfg.bn_mode,
         )
     else:
         residual = x
@@ -194,10 +209,11 @@ def forward(
     """
     ecfg = ecfg or ExecutionConfig()
     if (
-        ecfg.kernels == "fused"
+        ecfg.kernels in ("fused", "hybrid")
         and train
         and not capture
         and ecfg.layout == "NHWC"
+        and ecfg.bn_mode == "batch"
     ):
         from .fused_resnet import fused_forward
 
@@ -235,7 +251,7 @@ def forward(
     out, stats["init_bn"] = _bn_apply(
         out, params["init_bn"], eps=eps, layout=layout,
         state=None if bn_state is None else bn_state["init_bn"], train=train,
-        relu_fused=True, relu_cap=ecfg.relu_cap, engine=engine, interpret=interp,
+        relu_fused=True, relu_cap=ecfg.relu_cap, engine=engine, interpret=interp, mode=ecfg.bn_mode,
     )
     if tape is not None:
         tape["init_conv_activated"] = out

@@ -123,3 +123,26 @@ def test_basic_block_fused_parity(rng):
         ExecutionConfig(kernels="fused", pallas_interpret=True), train=True,
     )
     np.testing.assert_allclose(np.asarray(lx), np.asarray(lf), rtol=1e-3, atol=1e-4)
+
+
+def test_hybrid_forward_and_grad_parity(setup, rng):
+    """kernels='hybrid' (per-layer measured dispatch between the Pallas
+    fused conv and the XLA chain) must match the standard path exactly
+    like 'fused' does — regardless of which engine each site picks."""
+    mcfg, params, x, exla, _ = setup
+    ehyb = ExecutionConfig(kernels="hybrid", pallas_interpret=True)
+    lx, _ = forward(params, x, mcfg, exla, train=True)
+    lh, _ = forward(params, x, mcfg, ehyb, train=True)
+    np.testing.assert_allclose(np.asarray(lx), np.asarray(lh), rtol=1e-3, atol=1e-4)
+
+    labels = jnp.asarray(rng.integers(0, 8, (4,)).astype(np.int32))
+    batch = {"images": x, "labels": labels}
+    cx = TrainConfig(model=mcfg, execution=exla, data=DataConfig(batch_size=4))
+    ch = TrainConfig(model=mcfg, execution=ehyb, data=DataConfig(batch_size=4))
+    gx = jax.grad(lambda p: _loss_fn(p, batch, None, cx)[0])(params)
+    gh = jax.grad(lambda p: _loss_fn(p, batch, None, ch)[0])(params)
+    for a, b in zip(jax.tree.leaves(gx), jax.tree.leaves(gh)):
+        scale = max(1e-3, float(np.max(np.abs(np.asarray(a)))))
+        np.testing.assert_allclose(
+            np.asarray(a) / scale, np.asarray(b) / scale, rtol=2e-3, atol=5e-4
+        )

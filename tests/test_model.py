@@ -266,3 +266,45 @@ def test_resnext_trains(rng):
         state, m = step(state, batch)
         losses.append(float(m["loss"]))
     assert losses[-1] < losses[0] and np.all(np.isfinite(losses))
+
+
+def test_bn_mode_frozen_and_off():
+    """bn_mode='frozen' normalizes with running stats in train mode
+    (frozen-BN fine-tuning); with fresh (0,1) running stats and identity
+    gamma/beta it must equal bn_mode='off' (pure conv+relu network), and
+    both must differ from batch-stats BN."""
+    import jax
+    import jax.numpy as jnp
+
+    from resnet_tpu.config import ExecutionConfig, tiny_model_config
+    from resnet_tpu.models import forward, init_bn_state, init_params
+
+    mcfg = tiny_model_config()
+    params = init_params(jax.random.PRNGKey(0), mcfg)
+    st = init_bn_state(mcfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 16, 16, 3)) * 50
+
+    y_batch, _ = forward(params, x, mcfg, ExecutionConfig(), train=True)
+    y_frozen, _ = forward(
+        params, x, mcfg, ExecutionConfig(bn_mode="frozen"),
+        train=True, bn_state=st,
+    )
+    y_off, _ = forward(
+        params, x, mcfg, ExecutionConfig(bn_mode="off"), train=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(y_frozen), np.asarray(y_off), rtol=1e-5, atol=1e-5
+    )
+    assert not np.allclose(np.asarray(y_frozen), np.asarray(y_batch))
+    # gradients flow in both modes
+    g = jax.grad(
+        lambda p: float_sum(forward(p, x, mcfg, ExecutionConfig(bn_mode="frozen"),
+                                    train=True, bn_state=st)[0])
+    )(params)
+    assert all(np.all(np.isfinite(np.asarray(le))) for le in jax.tree.leaves(g))
+
+
+def float_sum(t):
+    import jax.numpy as jnp
+
+    return jnp.sum(t.astype(jnp.float32))

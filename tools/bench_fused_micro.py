@@ -21,10 +21,11 @@ from __future__ import annotations
 
 import argparse
 import json
+import math
 import os
 import sys
+import zlib
 
-import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -49,6 +50,7 @@ def main():
     from resnet_tpu.utils.profiling import time_fn
 
     b = args.batch
+    key = jax.random.key(0)
     SHAPES = {
         # name: (x_shape, k, cout, stride)
         "s1_reduce": ((b, 56, 56, 256), 1, 64, 1),
@@ -67,19 +69,21 @@ def main():
         "s2_proj": ((b, 56, 56, 256), 3, 512, 2),
         "s4_proj": ((b, 14, 14, 1024), 3, 2048, 2),
     }
-    rng = np.random.default_rng(0)
 
     for name in args.shapes:
         xs, k, cout, stride = SHAPES[name]
         cin = xs[-1]
-        x = jax.device_put(rng.normal(0, 1, xs).astype(np.float32)).astype(
+        # generate ON DEVICE: host-side numpy datagen for these sizes costs
+        # minutes on a small host + a slow tunnel transfer
+        ks = jax.random.split(
+            jax.random.fold_in(key, zlib.crc32(name.encode())), 4
+        )
+        x = jax.random.normal(ks[0], xs, jnp.bfloat16)
+        w = (0.05 * jax.random.normal(ks[1], (k, k, cin, cout))).astype(
             jnp.bfloat16
         )
-        w = jax.device_put(
-            rng.normal(0, 0.05, (k, k, cin, cout)).astype(np.float32)
-        ).astype(jnp.bfloat16)
-        scale = jax.device_put(rng.normal(1, 0.1, (cin,)).astype(np.float32))
-        shift = jax.device_put(rng.normal(0, 0.1, (cin,)).astype(np.float32))
+        scale = 1.0 + 0.1 * jax.random.normal(ks[2], (cin,))
+        shift = 0.1 * jax.random.normal(ks[3], (cin,))
 
         def xla_fn(x, w, scale, shift):
             u = jnp.maximum(
@@ -93,7 +97,7 @@ def main():
             y, sums = fused_conv(x, w, scale, shift, stride, None, True, True)
             return y, sums
 
-        traffic = (np.prod(xs) + np.prod(xs[:3]) // stride**2 * cout) * 2
+        traffic = (math.prod(xs) + math.prod(xs[:3]) // stride**2 * cout) * 2
 
         for engine, fn in (("xla", xla_fn), ("fused", fused_fn)):
             try:
@@ -105,9 +109,9 @@ def main():
                     print(json.dumps(row), flush=True)
                     continue
                 # fwd+bwd wrt x and w (random cotangent on y)
-                r = jax.device_put(
-                    rng.normal(0, 1, jax.eval_shape(
-                        fn, x, w, scale, shift)[0].shape).astype(np.float32))
+                r = jax.random.normal(
+                    ks[0], jax.eval_shape(fn, x, w, scale, shift)[0].shape
+                )
 
                 def fwd_bwd(x, w, scale, shift, r):
                     def loss(args2):
