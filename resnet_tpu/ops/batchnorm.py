@@ -40,21 +40,18 @@ import functools as _functools
 
 
 def _moments_value(x, layout):
-    """One-pass (mean, biased var): the two reductions (sum x, sum x^2) run
-    as ONE variadic lax.reduce so XLA reads the activation once — two
-    separate jnp.mean calls cost a second full pass over the tensor
-    (measured ~6ms/step at batch 256 on v5e)."""
-    from jax import lax
-
+    """One-pass (mean, biased var): the two reductions (sum x, sum x^2) are
+    sibling jnp.sums — XLA's multi-output fusion merges them into one read
+    of the activation (two jnp.mean calls, by contrast, measured an extra
+    ~6ms/step at batch 256 on v5e). Written as two plain reduces, not one
+    variadic lax.reduce: variadic reduce misses XLA:TPU's fast
+    row-reduction emitter (swapping it for sibling sums in the BN backward
+    measured 1900->2026 img/s on the full step)."""
     axes = _reduce_axes(layout)
     acc = jnp.result_type(x.dtype, jnp.float32)
     xf = x.astype(acc)
-    zero = jnp.zeros((), acc)
-
-    def comp(a, b):
-        return (a[0] + b[0], a[1] + b[1])
-
-    s, s2 = lax.reduce((xf, xf * xf), (zero, zero), comp, axes)
+    s = jnp.sum(xf, axis=axes)
+    s2 = jnp.sum(xf * xf, axis=axes)
     n = 1
     for ax in axes:
         n *= x.shape[ax]
