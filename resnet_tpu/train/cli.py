@@ -181,6 +181,13 @@ def build_config(argv=None) -> tuple:
 
 
 def main(argv=None):
+    # honor JAX_PLATFORMS even when a sitecustomize force-registered another
+    # backend (it overrides jax_platforms at import time): a user who asked
+    # for CPU must not silently train over a tunneled remote device
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     cfg, args = build_config(argv)
     from .trainer import Trainer
 
