@@ -29,6 +29,16 @@ def main():
     ap.add_argument("--remat", default="none")
     ap.add_argument("--kernels", default="xla",
                     choices=["xla", "pallas", "fused", "hybrid"])
+    ap.add_argument("--projections", default="standard",
+                    choices=["standard", "reference"],
+                    help="'standard' = torchvision ResNet-50 (1x1/s2"
+                         " projection shortcuts — what published img/s"
+                         " numbers and the 3000 baseline describe);"
+                         " 'reference' = the reference's 3x3/s2 projection"
+                         " quirk (resnet.cu:770-797), ~2.3x the FLOPs")
+    ap.add_argument("--space-to-depth", action="store_true",
+                    help="MLPerf stem trick: 7x7/s2 on 224x224x3 becomes"
+                         " 4x4/s1 on 112x112x12")
     ap.add_argument("--bn-mode", default="batch",
                     choices=["batch", "frozen", "off"],
                     help="'frozen'/'off' are perf-attribution ablations")
@@ -54,13 +64,18 @@ def main():
     image_dim = 224 if on_tpu else 64
 
     cfg = TrainConfig(
-        model=model_config("resnet50", input_dim=image_dim),
+        model=model_config(
+            "resnet50",
+            input_dim=image_dim,
+            stride_projection_kernel=3 if args.projections == "reference" else 1,
+        ),
         execution=ExecutionConfig(
             kernels=args.kernels,
             compute_dtype=args.dtype,
             matmul_precision="default",
             remat=args.remat,
             bn_mode=args.bn_mode,
+            space_to_depth=args.space_to_depth,
         ),
         optimizer=OptimizerConfig(),
         data=DataConfig(batch_size=batch, synthetic=True),

@@ -63,6 +63,12 @@ def build_config(argv=None) -> tuple:
                          " halves input traffic)")
     ap.add_argument("--space-to-depth", action="store_true",
                     help="MLPerf s2d stem (7x7s2 -> 4x4s1 on folded input)")
+    ap.add_argument("--projections", default="reference",
+                    choices=["reference", "standard"],
+                    help="projection-shortcut kernel at stage transitions:"
+                         " 'reference' = the reference's 3x3/s2 quirk"
+                         " (resnet.cu:770-797, ~2.3x the FLOPs of standard"
+                         " ResNet-50); 'standard' = torchvision 1x1/s2")
     ap.add_argument("--optimizer", default="adam", choices=["adam", "sgd"])
     ap.add_argument("--lr", type=float, default=1e-4)  # resnet.cu:3286
     ap.add_argument("--weight-decay", type=float, default=0.0)
@@ -119,7 +125,10 @@ def build_config(argv=None) -> tuple:
     if args.model == "tiny":
         mcfg = tiny_model_config()
     else:
-        mcfg = model_config(args.model)
+        mcfg = model_config(
+            args.model,
+            stride_projection_kernel=1 if args.projections == "standard" else 3,
+        )
 
     # LR-schedule horizon from the REAL dataset size: shard count comes
     # from the flag or the actual shard directory, never from defaults
