@@ -42,6 +42,10 @@ def main():
     ap.add_argument("--bn-mode", default="batch",
                     choices=["batch", "frozen", "off"],
                     help="'frozen'/'off' are perf-attribution ablations")
+    ap.add_argument("--adam", default="per-leaf", choices=["fused", "per-leaf"],
+                    help="fused = one Pallas pass over the raveled params"
+                         " (pays ravel/unravel concats); per-leaf = jnp"
+                         " updates XLA fuses per tensor")
     ap.add_argument("--scan", type=int, default=0,
                     help="K>0: run K train steps inside ONE jitted lax.scan"
                          " (device-side loop, the shape of a real TPU input"
@@ -77,7 +81,7 @@ def main():
             bn_mode=args.bn_mode,
             space_to_depth=args.space_to_depth,
         ),
-        optimizer=OptimizerConfig(),
+        optimizer=OptimizerConfig(fused=args.adam == "fused"),
         data=DataConfig(batch_size=batch, synthetic=True),
     )
 

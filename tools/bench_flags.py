@@ -31,10 +31,17 @@ PRESETS = {
     "vmem_32m": {"xla_tpu_scoped_vmem_limit_kib": "32768"},
     "lhs": {"xla_tpu_enable_latency_hiding_scheduler": "true"},
     "no_min_alloc": {"xla_tpu_enable_aggressive_instruction_fusion": "true"},
+    "fusion_vmem": {
+        "xla_tpu_enable_aggressive_instruction_fusion": "true",
+        "xla_tpu_scoped_vmem_limit_kib": "65536",
+    },
+    "no_rwb": {"xla_tpu_rwb_fusion": "false"},
+    "no_multi_output": {"xla_tpu_enable_multi_output_fusion": "false"},
 }
 
 
-def build(batch: int, dim: int, kernels: str, remat: str):
+def build(batch: int, dim: int, kernels: str, remat: str,
+          projections: str = "standard"):
     import jax
 
     from resnet_tpu.config import (
@@ -49,7 +56,10 @@ def build(batch: int, dim: int, kernels: str, remat: str):
     import functools
 
     cfg = TrainConfig(
-        model=model_config("resnet50", input_dim=dim),
+        model=model_config(
+            "resnet50", input_dim=dim,
+            stride_projection_kernel=3 if projections == "reference" else 1,
+        ),
         execution=ExecutionConfig(
             kernels=kernels, compute_dtype="bfloat16",
             matmul_precision="default", remat=remat,
@@ -94,6 +104,8 @@ def main():
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--kernels", default="xla")
     ap.add_argument("--remat", default="none")
+    ap.add_argument("--projections", default="standard",
+                    choices=["standard", "reference"])
     ap.add_argument("--probe", action="store_true")
     ap.add_argument("--options", default="", help="JSON dict of compiler options")
     ap.add_argument("--presets", nargs="*", default=list(PRESETS))
@@ -123,7 +135,8 @@ def main():
 
     from resnet_tpu.train import init_train_state
 
-    fn, cfg, state, b = build(args.batch, args.dim, args.kernels, args.remat)
+    fn, cfg, state, b = build(args.batch, args.dim, args.kernels, args.remat,
+                              args.projections)
     lowered = jax.jit(fn, donate_argnums=(0,)).lower(state, b)
 
     experiments = (
