@@ -28,7 +28,7 @@ def main():
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--remat", default="none")
     ap.add_argument("--kernels", default="xla",
-                    choices=["xla", "pallas", "fused", "hybrid"])
+                    choices=["xla", "pallas", "fused", "hybrid", "fusedxla"])
     ap.add_argument("--projections", default="standard",
                     choices=["standard", "reference"],
                     help="'standard' = torchvision ResNet-50 (1x1/s2"

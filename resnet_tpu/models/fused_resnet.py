@@ -79,7 +79,14 @@ def _conv_site(x, w, scale, shift, stride, prologue, relu, interp, cap,
                ecfg: ExecutionConfig):
     """Per-layer engine dispatch: Pallas fused conv where measured faster,
     the XLA chain elsewhere (kernels='hybrid'); kernels='fused' forces the
-    Pallas kernel everywhere (parity/testing)."""
+    Pallas kernel everywhere (parity/testing); kernels='fusedxla' forces
+    the XLA chain everywhere (the fused dataflow with zero custom calls —
+    the diagnostic control for custom-call layout-fixup cost)."""
+    if ecfg.kernels == "fusedxla":
+        return _conv_chain_xla(
+            x, w, scale, shift, stride, prologue, relu, cap,
+            ecfg.matmul_precision,
+        )
     if ecfg.kernels == "hybrid":
         key = (x.shape[1], x.shape[3], w.shape[3], w.shape[0], stride)
         if key not in _FUSED_WINS:
@@ -105,6 +112,19 @@ def fused_forward(
     ones = jnp.ones((1,), jnp.float32)
     zeros = jnp.zeros((1,), jnp.float32)
     stats: Dict[str, Any] = {}
+    all_xla = ecfg.kernels == "fusedxla"
+
+    def join(e, sc_e, sh_e, r, sc_r, sh_r, *_ignored):
+        if all_xla:
+            y = (
+                e.astype(jnp.float32) * sc_e + sh_e
+                + r.astype(jnp.float32) * sc_r + sh_r
+            )
+            y = jnp.maximum(y, 0.0)
+            if cap is not None:
+                y = jnp.minimum(y, cap)
+            return y.astype(e.dtype)
+        return fused_join(e, sc_e, sh_e, r, sc_r, sh_r, interp, cap)
 
     def affine(sums, bn, m):
         return bn_affine_from_sums(sums, bn["gamma"], bn["beta"], m, eps)
@@ -120,12 +140,23 @@ def fused_forward(
     y0 = conv2d(x, params["init_conv"]["w"], stride=mcfg.init_stride,
                 layout="NHWC", precision=ecfg.matmul_precision)
     m0 = y0.shape[0] * y0.shape[1] * y0.shape[2]
-    mean0, var0 = moments(y0.reshape(-1, y0.shape[-1]), interp)
+    if all_xla:
+        from ..ops.batchnorm import batch_moments
+
+        mean0, var0 = batch_moments(y0, "NHWC")
+    else:
+        mean0, var0 = moments(y0.reshape(-1, y0.shape[-1]), interp)
     stats["init_bn"] = (mean0, var0)
     inv0 = jax.lax.rsqrt(var0 + jnp.float32(eps))
     sc0 = params["init_bn"]["gamma"].astype(jnp.float32) * inv0
     sh0 = params["init_bn"]["beta"].astype(jnp.float32) - sc0 * mean0
-    act0 = bias_act(y0, sc0, sh0, True, interp, cap)
+    if all_xla:
+        a0 = jnp.maximum(y0.astype(jnp.float32) * sc0 + sh0, 0.0)
+        if cap is not None:
+            a0 = jnp.minimum(a0, cap)
+        act0 = a0.astype(y0.dtype)
+    else:
+        act0 = bias_act(y0, sc0, sh0, True, interp, cap)
     out = max_pool(act0, kernel=mcfg.maxpool_kernel, stride=mcfg.maxpool_stride,
                    layout="NHWC")
 
@@ -155,10 +186,10 @@ def fused_forward(
                 m_p = p.shape[0] * p.shape[1] * p.shape[2]
                 bstats["bn_proj"] = _stats(sums_p, m_p)
                 sc_p, sh_p = affine(sums_p, bp["bn_proj"], m_p)
-                out = fused_join(c2, sc_2, sh_2, p, sc_p, sh_p, interp, cap)
+                out = join(c2, sc_2, sh_2, p, sc_p, sh_p, interp, cap)
             else:
                 c = out.shape[-1]
-                out = fused_join(
+                out = join(
                     c2, sc_2, sh_2, out,
                     jnp.ones((c,), jnp.float32), jnp.zeros((c,), jnp.float32),
                     interp, cap,
@@ -190,10 +221,10 @@ def fused_forward(
             m_p = p.shape[0] * p.shape[1] * p.shape[2]
             bstats["bn_proj"] = _stats(sums_p, m_p)
             sc_p, sh_p = affine(sums_p, bp["bn_proj"], m_p)
-            out = fused_join(e, sc_e, sh_e, p, sc_p, sh_p, interp, cap)
+            out = join(e, sc_e, sh_e, p, sc_p, sh_p, interp, cap)
         else:
             c = out.shape[-1]
-            out = fused_join(
+            out = join(
                 e, sc_e, sh_e, out,
                 jnp.ones((c,), jnp.float32), jnp.zeros((c,), jnp.float32),
                 interp, cap,

@@ -209,7 +209,7 @@ def forward(
     """
     ecfg = ecfg or ExecutionConfig()
     if (
-        ecfg.kernels in ("fused", "hybrid")
+        ecfg.kernels in ("fused", "hybrid", "fusedxla")
         and train
         and not capture
         and ecfg.layout == "NHWC"

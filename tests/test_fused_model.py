@@ -146,3 +146,26 @@ def test_hybrid_forward_and_grad_parity(setup, rng):
         np.testing.assert_allclose(
             np.asarray(a) / scale, np.asarray(b) / scale, rtol=2e-3, atol=5e-4
         )
+
+
+def test_fusedxla_forward_and_grad_parity(setup, rng):
+    """kernels='fusedxla' (the fused dataflow realized entirely with XLA
+    ops — the zero-custom-call control for attributing custom-call layout
+    fixup cost) must also match the standard path."""
+    mcfg, params, x, exla, _ = setup
+    efx = ExecutionConfig(kernels="fusedxla")
+    lx, _ = forward(params, x, mcfg, exla, train=True)
+    lf, _ = forward(params, x, mcfg, efx, train=True)
+    np.testing.assert_allclose(np.asarray(lx), np.asarray(lf), rtol=1e-3, atol=1e-4)
+
+    labels = jnp.asarray(rng.integers(0, 8, (4,)).astype(np.int32))
+    batch = {"images": x, "labels": labels}
+    cx = TrainConfig(model=mcfg, execution=exla, data=DataConfig(batch_size=4))
+    cf = TrainConfig(model=mcfg, execution=efx, data=DataConfig(batch_size=4))
+    gx = jax.grad(lambda p: _loss_fn(p, batch, None, cx)[0])(params)
+    gf = jax.grad(lambda p: _loss_fn(p, batch, None, cf)[0])(params)
+    for a, b in zip(jax.tree.leaves(gx), jax.tree.leaves(gf)):
+        scale = max(1e-3, float(np.max(np.abs(np.asarray(a)))))
+        np.testing.assert_allclose(
+            np.asarray(a) / scale, np.asarray(b) / scale, rtol=2e-3, atol=5e-4
+        )
