@@ -242,6 +242,25 @@ def _prologue_bwd_kernel(
     sums_ref[1, :] += jnp.sum(dv, axis=0)
 
 
+def _prologue_bwd_xla(x, du, scale, shift, *, relu, cap=None):
+    """jnp realization of _prologue_bwd: XLA fuses the gate recompute, dx,
+    and the two sibling channel reductions into the surrounding backward —
+    a Pallas call here is a fusion barrier that costs more than the one
+    fused read it saves (measured: every in-step Pallas site boundary runs
+    ~2ms of layout/pad fixups at b256, tools/bench_engine_split.py)."""
+    xf = x.astype(jnp.float32)
+    dv = du.astype(jnp.float32)
+    if relu:
+        v = xf * jnp.asarray(scale, jnp.float32) + jnp.asarray(shift, jnp.float32)
+        gate = (v > 0) if cap is None else (v > 0) & (v < cap)
+        dv = jnp.where(gate, dv, 0.0)
+    axes = tuple(range(x.ndim - 1))
+    dx = (dv * jnp.asarray(scale, jnp.float32)).astype(x.dtype)
+    dscale = jnp.sum(dv * xf, axis=axes)
+    dshift = jnp.sum(dv, axis=axes)
+    return dx, dscale, dshift
+
+
 def _prologue_bwd(x, du, scale, shift, *, relu, cap=None, interpret=False):
     """Returns (dx, dscale, dshift) for u = relu(x*scale+shift)."""
     shape = x.shape
@@ -442,8 +461,8 @@ def _fused_conv_bwd(stride, padding, prologue, relu, interpret, cap, res, cts):
     dw = dw.astype(w.dtype)
 
     if prologue:
-        dx, dscale, dshift = _prologue_bwd(
-            x, du, scale, shift, relu=relu, cap=cap, interpret=interpret
+        dx, dscale, dshift = _prologue_bwd_xla(
+            x, du, scale, shift, relu=relu, cap=cap
         )
         dscale = dscale.astype(jnp.asarray(scale).dtype)
         dshift = dshift.astype(jnp.asarray(shift).dtype)

@@ -50,6 +50,17 @@ _FUSED_WINS = {
     (14, 256, 1024, 1, 1),  # s3 expand: 1.89 -> 1.22 ms
 }
 
+# experiment hook: RESNET_TPU_FUSED_WINS="56,64,256,1,1;14,256,1024,1,1"
+# overrides the site table (tools/bench_engine_split.py ablations)
+import os as _os
+
+if _os.environ.get("RESNET_TPU_FUSED_WINS"):
+    _FUSED_WINS = {
+        tuple(int(v) for v in grp.split(","))
+        for grp in _os.environ["RESNET_TPU_FUSED_WINS"].split(";")
+        if grp
+    }
+
 
 def _conv_chain_xla(x, w, scale, shift, stride, prologue, relu, cap, prec):
     """XLA realization of the fused_conv contract: bn-apply on the input
