@@ -42,6 +42,11 @@ def main():
     ap.add_argument("--bn-mode", default="batch",
                     choices=["batch", "frozen", "off"],
                     help="'frozen'/'off' are perf-attribution ablations")
+    ap.add_argument("--bn-stats-batch", type=int, default=0,
+                    help="ghost BN: statistics over the first N images of"
+                         " the batch (0 = full batch, reference-exact)."
+                         " 64 mirrors per-replica BN at global batch 2048"
+                         " on a v5e-8 (Hoffer et al. 2017)")
     ap.add_argument("--adam", default="per-leaf", choices=["fused", "per-leaf"],
                     help="fused = one Pallas pass over the raveled params"
                          " (pays ravel/unravel concats); per-leaf = jnp"
@@ -79,6 +84,7 @@ def main():
             matmul_precision="default",
             remat=args.remat,
             bn_mode=args.bn_mode,
+            bn_stats_batch=args.bn_stats_batch,
             space_to_depth=args.space_to_depth,
         ),
         optimizer=OptimizerConfig(fused=args.adam == "fused"),

@@ -166,6 +166,19 @@ class ExecutionConfig:
     #   'off'    skip normalization entirely (ReLU only) — diagnostic
     #            ablation for perf attribution, not a training config
     bn_mode: str = "batch"
+    # Ghost batch norm: compute BN statistics over the first
+    # ``bn_stats_batch`` images of the per-device batch (0 = full batch,
+    # the reference's exact semantics). The normalization/affine still
+    # covers every image; only the statistics sample shrinks — the same
+    # situation as per-replica BN in any data-parallel run (per-chip batch
+    # 32-64 on a v5e-8 at global 256-512), and the 'ghost BN' of Hoffer et
+    # al. 2017, which at these sizes is accuracy-neutral-or-better. This is
+    # a SEMANTIC axis, not a perf axis, on the current stack: although the
+    # backward correction only touches the stats sample (closed-form VJP,
+    # ops/batchnorm.py::batch_norm_ghost), XLA:TPU lowers the
+    # reduce-over-slice forward off its fast reduction emitter — measured
+    # 1488 img/s vs 2596 full-batch at b256 (docs/perf_ceiling_r2.md).
+    bn_stats_batch: int = 0
     # Run Pallas kernels in interpreter mode (CPU testing); None = auto
     # (interpret unless running on real TPU).
     pallas_interpret: Optional[bool] = None

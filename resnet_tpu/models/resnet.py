@@ -65,13 +65,16 @@ def _conv(x, w, *, stride, ecfg, groups=1):
 
 def _bn_apply(x, bn_params, *, eps, layout, state=None, train=True,
               relu_fused=False, relu_cap=None, engine="xla", interpret=False,
-              mode="batch"):
+              mode="batch", stats_batch=0):
     """BN in train (batch stats) or eval (running stats) mode, with the
     following ReLU fused in when relu_fused=True (doBatchNormAndActivate,
     resnet.cu:289). Returns (y, (mean, var)).
 
     mode='frozen' normalizes with running stats even in train mode
     (frozen-BN fine-tuning); mode='off' skips normalization (diagnostic).
+    stats_batch>0 = ghost BN: statistics over the first stats_batch images
+    only (ExecutionConfig.bn_stats_batch); still fully differentiable —
+    the moments VJP correction just flows to the stats sample alone.
     """
     if mode == "off":
         y = x
@@ -89,6 +92,20 @@ def _bn_apply(x, bn_params, *, eps, layout, state=None, train=True,
                 "eval-mode/frozen BN requires running statistics"
             )
         mean, var = state["mean"], state["var"]
+    elif stats_batch and stats_batch < x.shape[0]:
+        # ghost BN rides its own closed-form VJP (autodiff of the sliced
+        # moments materializes a full-size zero-pad per layer in backward)
+        from ..ops.batchnorm import batch_norm_ghost
+
+        y, stats = batch_norm_ghost(
+            x, bn_params["gamma"], bn_params["beta"], stats_batch,
+            eps=eps, layout=layout,
+        )
+        if relu_fused:
+            y = jnp.maximum(y, jnp.zeros((), y.dtype))
+            if relu_cap is not None:
+                y = jnp.minimum(y, jnp.asarray(relu_cap, y.dtype))
+        return y, stats
     return bn_act(
         x, bn_params["gamma"], bn_params["beta"], eps=eps, layout=layout,
         relu=relu_fused, relu_cap=relu_cap, engine=engine, interpret=interpret,
@@ -111,7 +128,7 @@ def _bottleneck_block(
     out, stats["bn_reduce"] = _bn_apply(
         out, block_params["bn_reduce"], eps=eps, layout=layout,
         state=None if state is None else state["bn_reduce"], train=train,
-        relu_fused=True, relu_cap=ecfg.relu_cap, engine=engine, interpret=interp, mode=ecfg.bn_mode,
+        relu_fused=True, relu_cap=ecfg.relu_cap, engine=engine, interpret=interp, mode=ecfg.bn_mode, stats_batch=ecfg.bn_stats_batch,
     )
 
     out = _conv(
@@ -123,7 +140,7 @@ def _bottleneck_block(
     out, stats["bn_spatial"] = _bn_apply(
         out, block_params["bn_spatial"], eps=eps, layout=layout,
         state=None if state is None else state["bn_spatial"], train=train,
-        relu_fused=True, relu_cap=ecfg.relu_cap, engine=engine, interpret=interp, mode=ecfg.bn_mode,
+        relu_fused=True, relu_cap=ecfg.relu_cap, engine=engine, interpret=interp, mode=ecfg.bn_mode, stats_batch=ecfg.bn_stats_batch,
     )
 
     out = _conv(out, block_params["expand"]["w"], stride=1, ecfg=ecfg)
@@ -132,7 +149,7 @@ def _bottleneck_block(
     out, stats["bn_expand"] = _bn_apply(
         out, block_params["bn_expand"], eps=eps, layout=layout,
         state=None if state is None else state["bn_expand"], train=train,
-        engine=engine, interpret=interp, mode=ecfg.bn_mode,
+        engine=engine, interpret=interp, mode=ecfg.bn_mode, stats_batch=ecfg.bn_stats_batch,
     )
 
     if "proj" in block_params:
@@ -140,7 +157,7 @@ def _bottleneck_block(
         residual, stats["bn_proj"] = _bn_apply(
             residual, block_params["bn_proj"], eps=eps, layout=layout,
             state=None if state is None else state["bn_proj"], train=train,
-            engine=engine, interpret=interp, mode=ecfg.bn_mode,
+            engine=engine, interpret=interp, mode=ecfg.bn_mode, stats_batch=ecfg.bn_stats_batch,
         )
         if tape is not None:
             tape["transformed_residual"] = residual
@@ -166,13 +183,13 @@ def _basic_block(
     out, stats["bn1"] = _bn_apply(
         out, block_params["bn1"], eps=eps, layout=layout,
         state=None if state is None else state["bn1"], train=train,
-        relu_fused=True, relu_cap=ecfg.relu_cap, engine=engine, interpret=interp, mode=ecfg.bn_mode,
+        relu_fused=True, relu_cap=ecfg.relu_cap, engine=engine, interpret=interp, mode=ecfg.bn_mode, stats_batch=ecfg.bn_stats_batch,
     )
     out = _conv(out, block_params["conv2"]["w"], stride=1, ecfg=ecfg)
     out, stats["bn2"] = _bn_apply(
         out, block_params["bn2"], eps=eps, layout=layout,
         state=None if state is None else state["bn2"], train=train,
-        engine=engine, interpret=interp, mode=ecfg.bn_mode,
+        engine=engine, interpret=interp, mode=ecfg.bn_mode, stats_batch=ecfg.bn_stats_batch,
     )
 
     if "proj" in block_params:
@@ -180,7 +197,7 @@ def _basic_block(
         residual, stats["bn_proj"] = _bn_apply(
             residual, block_params["bn_proj"], eps=eps, layout=layout,
             state=None if state is None else state["bn_proj"], train=train,
-            engine=engine, interpret=interp, mode=ecfg.bn_mode,
+            engine=engine, interpret=interp, mode=ecfg.bn_mode, stats_batch=ecfg.bn_stats_batch,
         )
     else:
         residual = x
@@ -251,7 +268,7 @@ def forward(
     out, stats["init_bn"] = _bn_apply(
         out, params["init_bn"], eps=eps, layout=layout,
         state=None if bn_state is None else bn_state["init_bn"], train=train,
-        relu_fused=True, relu_cap=ecfg.relu_cap, engine=engine, interpret=interp, mode=ecfg.bn_mode,
+        relu_fused=True, relu_cap=ecfg.relu_cap, engine=engine, interpret=interp, mode=ecfg.bn_mode, stats_batch=ecfg.bn_stats_batch,
     )
     if tape is not None:
         tape["init_conv_activated"] = out

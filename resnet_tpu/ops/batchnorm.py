@@ -98,6 +98,114 @@ def _batch_moments_bwd(layout, res, cts):
 batch_moments.defvjp(_batch_moments_fwd, _batch_moments_bwd)
 
 
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _bn_ghost(x, gamma, beta, eps: float, layout: str, k: int):
+    """Ghost BN (stats over the first k images, normalization over all)
+    as ONE differentiable op with a hand-written VJP.
+
+    Autodiff of the sliced-moments formulation makes XLA materialize a
+    full-size zero-pad of every activation in backward (the slice's
+    transpose), measured 98.6ms -> 176ms/step at b256. The closed form
+    needs no pad: with full-batch sums dbeta = sum(dy), dgamma =
+    sum(dy*x_hat) (required for the parameter grads anyway),
+
+        dx_i = gamma/sigma * (dy_i - [i<k] * (dbeta + x_hat_i*dgamma)/m_k)
+
+    where m_k = k*H*W is the per-channel stats-sample size. The [i<k]
+    indicator is an iota mask fused into the dx pass. Setting k = N gives
+    exactly the standard full-batch BN backward.
+    """
+    mean, var = _moments_value(x[:k], layout)
+    stat_dtype = jnp.result_type(x.dtype, jnp.float32)
+    shape = _param_shape(x.ndim, layout)
+    inv_std = jax.lax.rsqrt(var + jnp.asarray(eps, stat_dtype))
+    scale = (gamma.astype(stat_dtype) * inv_std).reshape(shape)
+    shift = (
+        beta.astype(stat_dtype) - gamma.astype(stat_dtype) * mean * inv_std
+    ).reshape(shape)
+    y = x.astype(stat_dtype) * scale + shift
+    return y.astype(x.dtype), (mean, var)
+
+
+def _bn_ghost_fwd(x, gamma, beta, eps, layout, k):
+    x, gamma, beta = x.value, gamma.value, beta.value  # symbolic_zeros wrap
+    out = _bn_ghost(x, gamma, beta, eps, layout, k)
+    y, (mean, var) = out
+    stat_dtype = jnp.result_type(x.dtype, jnp.float32)
+    inv_std = jax.lax.rsqrt(var + jnp.asarray(eps, stat_dtype))
+    return out, (x, gamma, mean, inv_std)
+
+
+def _bn_ghost_bwd(eps, layout, k, res, cts):
+    from jax.custom_derivatives import SymbolicZero
+
+    x, gamma, mean, inv_std = res
+    dy, (dmean_ct, dvar_ct) = cts
+    axes = _reduce_axes(layout)
+    shape = _param_shape(x.ndim, layout)
+    acc = jnp.result_type(x.dtype, jnp.float32)
+    # per-channel element count of the stats sample (batch is dim 0)
+    m_k = k
+    for ax in axes:
+        if ax != 0:
+            m_k *= x.shape[ax]
+    xf = x.astype(acc)
+    dyf = (
+        jnp.zeros(x.shape, acc)
+        if isinstance(dy, SymbolicZero)
+        else dy.astype(acc)
+    )
+    xhat = (xf - mean.reshape(shape)) * inv_std.reshape(shape)
+    # full-batch sums (these ARE the parameter gradients)
+    dbeta = jnp.sum(dyf, axis=axes)
+    dgamma = jnp.sum(dyf * xhat, axis=axes)
+    # elementwise dx with the stats-sample mask fused in
+    in_sample = (
+        jax.lax.broadcasted_iota(jnp.int32, (x.shape[0],) + (1,) * (x.ndim - 1), 0)
+        < k
+    )
+    g_inv = (gamma.astype(acc) * inv_std).reshape(shape)
+    corr = (dbeta.reshape(shape) + xhat * dgamma.reshape(shape)) / m_k
+    dx = g_inv * (dyf - jnp.where(in_sample, corr, 0.0))
+    if not isinstance(dmean_ct, SymbolicZero):
+        dx = dx + jnp.where(
+            in_sample, dmean_ct.astype(acc).reshape(shape) / m_k, 0.0
+        )
+    if not isinstance(dvar_ct, SymbolicZero):
+        dx = dx + jnp.where(
+            in_sample,
+            dvar_ct.astype(acc).reshape(shape) * 2.0 * (xf - mean.reshape(shape)) / m_k,
+            0.0,
+        )
+    return (
+        dx.astype(x.dtype),
+        dgamma.astype(gamma.dtype),
+        dbeta.astype(gamma.dtype),
+    )
+
+
+_bn_ghost.defvjp(_bn_ghost_fwd, _bn_ghost_bwd, symbolic_zeros=True)
+
+
+def batch_norm_ghost(
+    x: jax.Array,
+    gamma: jax.Array,
+    beta: jax.Array,
+    stats_batch: int,
+    *,
+    eps: float = 1e-7,
+    layout: str = "NHWC",
+) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array]]:
+    """Ghost batch norm (Hoffer et al. 2017): statistics from the first
+    ``stats_batch`` images, normalization over the whole batch — the
+    per-replica-BN situation of a data-parallel run, as a single-chip
+    execution axis (ExecutionConfig.bn_stats_batch)."""
+    k = int(stats_batch)
+    if k <= 0 or k >= x.shape[0]:
+        return batch_norm(x, gamma, beta, eps=eps, layout=layout)
+    return _bn_ghost(x, gamma, beta, eps, layout, k)
+
+
 def batch_norm(
     x: jax.Array,
     gamma: jax.Array,

@@ -65,3 +65,21 @@ def test_learns_synthetic_classification(rng):
         for _ in range(4)
     ]
     assert float(np.mean(accs)) > 0.8, accs
+
+
+def test_learns_with_ghost_bn(rng):
+    """bn_stats_batch (ghost BN) must not break learning — stats from a
+    quarter of the batch, normalization over all of it (the per-replica-BN
+    situation of any data-parallel run; Hoffer et al. 2017)."""
+    cfg = TrainConfig(
+        model=tiny_model_config(num_classes=N_CLASSES),
+        execution=ExecutionConfig(bn_stats_batch=8),
+        optimizer=OptimizerConfig(learning_rate=2e-3),
+        data=DataConfig(batch_size=32),
+    )
+    state = init_train_state(cfg)
+    step = make_train_step(cfg, donate=False)
+    for i in range(120):
+        state, m = step(state, make_batch(rng, 32))
+    train_acc = float(m["accuracy"])
+    assert train_acc > 0.85, f"train acc with ghost BN {train_acc}"

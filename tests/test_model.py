@@ -308,3 +308,59 @@ def float_sum(t):
     import jax.numpy as jnp
 
     return jnp.sum(t.astype(jnp.float32))
+
+
+def test_ghost_bn_stats_batch():
+    """bn_stats_batch (ghost BN, ExecutionConfig): statistics come from the
+    first N images only; normalization covers the full batch; gradients
+    flow through the stats sample."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from resnet_tpu.config import ExecutionConfig, tiny_model_config
+    from resnet_tpu.models import forward, init_params
+    from resnet_tpu.ops.batchnorm import batch_moments
+    from resnet_tpu.ops.loss import cross_entropy
+
+    mcfg = tiny_model_config()
+    params = init_params(jax.random.PRNGKey(0), mcfg)
+    rng = np.random.default_rng(0)
+    d = mcfg.input_dim
+    x = jnp.asarray(rng.normal(0, 30, (8, d, d, 3)), jnp.float32)
+    labels = jnp.asarray(rng.integers(0, mcfg.num_classes, (8,)), jnp.int32)
+
+    e_full = ExecutionConfig()
+    e_ghost = ExecutionConfig(bn_stats_batch=4)
+    e_ghost_big = ExecutionConfig(bn_stats_batch=8)  # >= batch -> full
+
+    lf, af = forward(params, x, mcfg, e_full, train=True)
+    lg, ag = forward(params, x, mcfg, e_ghost, train=True)
+    lb, _ = forward(params, x, mcfg, e_ghost_big, train=True)
+
+    # stats_batch >= batch degenerates to exact reference semantics
+    np.testing.assert_allclose(np.asarray(lf), np.asarray(lb), rtol=1e-5,
+                               atol=1e-5)
+    # ghost stats differ from full-batch stats, outputs close but not equal
+    mf, _ = af["bn_stats"]["init_bn"]
+    mg, _ = ag["bn_stats"]["init_bn"]
+    assert not np.allclose(np.asarray(mf), np.asarray(mg))
+    assert np.all(np.isfinite(np.asarray(lg)))
+
+    # the first BN's ghost stats equal moments of the stats slice
+    from resnet_tpu.ops import conv2d
+    y0 = conv2d(x.astype(jnp.float32), params["init_conv"]["w"],
+                stride=mcfg.init_stride, layout="NHWC")
+    m_ref, v_ref = batch_moments(y0[:4], "NHWC")
+    np.testing.assert_allclose(np.asarray(mg), np.asarray(m_ref), rtol=1e-4,
+                               atol=1e-4)
+
+    # gradients flow and are finite
+    def loss_fn(p):
+        logits, _ = forward(p, x, mcfg, e_ghost, train=True)
+        return cross_entropy(logits, labels, reduction="sum")
+
+    g = jax.grad(loss_fn)(params)
+    leaves = jax.tree_util.tree_leaves(g)
+    total = sum(float(jnp.sum(jnp.abs(v))) for v in leaves)
+    assert np.isfinite(total) and total > 0

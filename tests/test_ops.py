@@ -193,3 +193,48 @@ def test_relu_cap_dispatch():
     b = jnp.asarray([[-20.0, 0.0, 1.0, 8.0]], jnp.float32).reshape(1, 1, 1, 4)
     j = residual_join(a, b, relu_cap=10.0)
     np.testing.assert_allclose(np.asarray(j).ravel(), [0.0, 8.0, 9.0, 10.0], atol=1e-6)
+
+
+def test_ghost_bn_custom_vjp_matches_autodiff():
+    """batch_norm_ghost's hand-written backward must equal autodiff of the
+    sliced-moments formulation (stats over x[:k], normalize all)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from resnet_tpu.ops.batchnorm import (
+        batch_moments,
+        batch_norm,
+        batch_norm_ghost,
+    )
+
+    rng = np.random.default_rng(3)
+    n, h, w, c = 6, 4, 5, 3
+    k = 2
+    x = jnp.asarray(rng.normal(0, 2, (n, h, w, c)), jnp.float32)
+    gamma = jnp.asarray(rng.normal(1, 0.2, (c,)), jnp.float32)
+    beta = jnp.asarray(rng.normal(0, 0.2, (c,)), jnp.float32)
+    dy = jnp.asarray(rng.normal(0, 1, (n, h, w, c)), jnp.float32)
+
+    def ref(x, gamma, beta):
+        mean, var = batch_moments(x[:k], "NHWC")
+        y, _ = batch_norm(x, gamma, beta, mean=mean, var=var, eps=1e-5)
+        return jnp.sum(y * dy)
+
+    def ghost(x, gamma, beta):
+        y, _ = batch_norm_ghost(x, gamma, beta, k, eps=1e-5)
+        return jnp.sum(y * dy)
+
+    # forwards identical
+    np.testing.assert_allclose(float(ref(x, gamma, beta)),
+                               float(ghost(x, gamma, beta)), rtol=1e-5)
+    g_ref = jax.grad(ref, argnums=(0, 1, 2))(x, gamma, beta)
+    g_ghost = jax.grad(ghost, argnums=(0, 1, 2))(x, gamma, beta)
+    for a, b in zip(g_ref, g_ghost):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+
+    # k >= n degenerates to exact full-batch batch_norm
+    y_full, _ = batch_norm(x, gamma, beta, eps=1e-5)
+    y_g, _ = batch_norm_ghost(x, gamma, beta, n, eps=1e-5)
+    np.testing.assert_allclose(np.asarray(y_full), np.asarray(y_g), rtol=1e-6)
