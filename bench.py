@@ -102,8 +102,12 @@ def main():
 
         k = args.scan
         fn = functools.partial(train_step, cfg=cfg)
+        jit_kwargs = {"donate_argnums": (0,)}
+        copts = cfg.execution.jit_compiler_options()
+        if copts:  # e.g. the fused engine's scoped-VMEM budget
+            jit_kwargs["compiler_options"] = copts
 
-        @functools.partial(jax.jit, donate_argnums=(0,))
+        @functools.partial(jax.jit, **jit_kwargs)
         def step(state, b):  # noqa: F811  (same call contract)
             def body(s, _):
                 s2, m = fn(s, b)

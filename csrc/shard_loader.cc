@@ -142,8 +142,13 @@ int stat_shard_batches(Loader* L, int64_t shard) {
   return static_cast<int>(batches);
 }
 
-// Requires L->mu held. Returns batches in this shard or -2 on missing file.
+// Requires L->mu held. Returns batches in this shard, -2 on missing file,
+// or -3 on an out-of-range shard index (e.g. a resume cursor from a
+// stale/hand-edited checkpoint — indexing shard_batches[] with it would
+// be UB, so it gets the same clean-error treatment as a missing file).
 int batches_in_shard_locked(Loader* L, int64_t shard) {
+  if (shard < 0 || shard >= static_cast<int64_t>(L->shard_batches.size()))
+    return -3;
   int& cached = L->shard_batches[shard];
   if (cached == -1) cached = stat_shard_batches(L, shard);
   return cached;
@@ -155,6 +160,12 @@ int batches_in_shard_locked(Loader* L, int64_t shard) {
 bool normalize_cursor_locked(Loader* L, Cursor* c, std::string* err) {
   for (int hops = 0; hops <= L->num_shards; ++hops) {
     int nb = batches_in_shard_locked(L, c->shard);
+    if (nb == -3) {
+      *err = "shard cursor out of range: shard " +
+             std::to_string(c->shard) + " of " +
+             std::to_string(L->num_shards);
+      return false;
+    }
     if (nb == -2) {
       char ipath[4096];
       snprintf(ipath, sizeof ipath, "%s/%03lld.images", L->dir.c_str(),

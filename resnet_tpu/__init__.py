@@ -10,6 +10,8 @@ import os as _os
 
 import jax as _jax
 
+__version__ = "0.1.0"
+
 
 def _enable_compile_cache() -> None:
     """Persistent XLA compilation cache, on by default.
@@ -24,12 +26,25 @@ def _enable_compile_cache() -> None:
     want = _os.environ.get("RESNET_TPU_COMPILE_CACHE", "1")
     if want == "0" or _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
         return
-    # CPU runs skip the auto-cache: CPU AOT results bake in the compiling
-    # machine's ISA features (observed: cache entries with AMX/AVX512
-    # features the local host lacks -> SIGILL risk). TPU executables are
-    # target-keyed, and the minutes-long tunnel compiles are the point.
-    if want == "1" and "cpu" in _os.environ.get("JAX_PLATFORMS", "").lower():
-        return
+    # The auto-cache is only for non-CPU backends: CPU AOT results bake in
+    # the compiling machine's ISA features (observed: cache entries with
+    # AMX/AVX512 features the local host lacks -> SIGILL risk). TPU
+    # executables are target-keyed, and the minutes-long tunnel compiles
+    # are the point. Resolving the backend at import time is side-effectful,
+    # so the decision comes from the configured platform list (env var or
+    # the sitecustomize-set jax_platforms): enable only when a non-CPU
+    # platform is explicitly configured; a bare/unset platform list (e.g. a
+    # CPU-only host with JAX_PLATFORMS unset) skips the cache — safe,
+    # merely unaccelerated. Opt in explicitly with
+    # RESNET_TPU_COMPILE_CACHE=<dir> to force a cache anywhere.
+    if want == "1":
+        platforms = (
+            _os.environ.get("JAX_PLATFORMS", "")
+            or (_jax.config.jax_platforms or "")
+        ).lower()
+        non_cpu = [p for p in platforms.split(",") if p and p != "cpu"]
+        if not non_cpu:
+            return
     path = (
         want
         if want not in ("", "1")
@@ -48,5 +63,3 @@ def _enable_compile_cache() -> None:
 _enable_compile_cache()
 
 from . import analysis, config, data, models, ops, optim, parallel, train, utils  # noqa: E402
-
-__version__ = "0.1.0"

@@ -74,7 +74,7 @@ class NativeShardIterator:
         layout: str = "NHWC",
         cursor: Optional[ShardCursor] = None,
         prefetch_depth: int = 4,
-        num_workers: int = 0,  # 0 = auto (min(4, cores), capped at depth)
+        num_workers: int = 0,  # 0 = auto (2 if >=2 cores else 1, capped at depth — shard_loader.cc's measured default; raise for deeper read parallelism)
     ):
         lib = _load_lib()
         if lib is None:

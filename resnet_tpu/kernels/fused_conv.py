@@ -216,32 +216,6 @@ def _fused_conv_raw(
     return out[..., :cout], sums[:, :cout]
 
 
-def _prologue_bwd_kernel(
-    x_ref, du_ref, scale_ref, shift_ref, dx_ref, sums_ref, acc_ref,
-    *, n_m: int, relu: bool, cap=None
-):
-    """One pass: dv = du * relu'(x*scale+shift); dx = dv*scale;
-    accumulate per-channel [Σ dv*x, Σ dv] (= dscale, dshift).
-
-    Replaces three XLA passes (gate recompute+mask, dx, two reductions)
-    with a single read of (x, du) and write of dx — the backward
-    counterpart of the forward prologue fusion. Grid (c_tiles, m_tiles),
-    m innermost so the sums block stays VMEM-resident."""
-    @pl.when(pl.program_id(1) == 0)
-    def _():
-        sums_ref[:] = jnp.zeros_like(sums_ref)
-
-    xf = x_ref[:].astype(jnp.float32)
-    dv = du_ref[:].astype(jnp.float32)
-    if relu:
-        v = xf * scale_ref[0, :] + shift_ref[0, :]
-        gate = (v > 0) if cap is None else (v > 0) & (v < cap)
-        dv = jnp.where(gate, dv, 0.0)
-    dx_ref[:] = (dv * scale_ref[0, :]).astype(dx_ref.dtype)
-    sums_ref[0, :] += jnp.sum(dv * xf, axis=0)
-    sums_ref[1, :] += jnp.sum(dv, axis=0)
-
-
 def _prologue_bwd_xla(x, du, scale, shift, *, relu, cap=None):
     """jnp realization of _prologue_bwd: XLA fuses the gate recompute, dx,
     and the two sibling channel reductions into the surrounding backward —
@@ -259,46 +233,6 @@ def _prologue_bwd_xla(x, du, scale, shift, *, relu, cap=None):
     dscale = jnp.sum(dv * xf, axis=axes)
     dshift = jnp.sum(dv, axis=axes)
     return dx, dscale, dshift
-
-
-def _prologue_bwd(x, du, scale, shift, *, relu, cap=None, interpret=False):
-    """Returns (dx, dscale, dshift) for u = relu(x*scale+shift)."""
-    shape = x.shape
-    c = shape[-1]
-    x2 = x.reshape(-1, c)
-    du2 = du.reshape(-1, c)
-    m = x2.shape[0]
-    bm = min(1024, m)
-    bc = min(128 * ((c + 127) // 128), 512)
-    pm, pc = (-m) % bm, (-c) % bc
-    def pad2(t):
-        return jnp.pad(t, ((0, pm), (0, pc))) if (pm or pc) else t
-    def row(v):
-        vv = jnp.asarray(v, jnp.float32).reshape(-1)
-        return (jnp.pad(vv, (0, pc)) if pc else vv).reshape(1, -1)
-    mp, cp = m + pm, c + pc
-    tile = pl.BlockSpec((bm, bc), lambda j, i: (i, j), memory_space=pltpu.VMEM)
-    rowspec = pl.BlockSpec((1, bc), lambda j, i: (0, j), memory_space=pltpu.VMEM)
-    dx, sums = pl.pallas_call(
-        functools.partial(_prologue_bwd_kernel, n_m=mp // bm, relu=relu, cap=cap),
-        grid=(cp // bc, mp // bm),
-        in_specs=[tile, tile, rowspec, rowspec],
-        out_specs=(
-            tile,
-            pl.BlockSpec((2, bc), lambda j, i: (0, j), memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((mp, cp), x.dtype),
-            jax.ShapeDtypeStruct((2, cp), jnp.float32),
-        ),
-        scratch_shapes=[pltpu.VMEM((2, bc), jnp.float32)],
-        interpret=interpret,
-    )(pad2(x2), pad2(du2), row(scale), row(shift))
-    return (
-        dx[:m, :c].reshape(shape),
-        sums[0, :c],
-        sums[1, :c],
-    )
 
 
 def _resolve_pad(x, w, stride, padding):

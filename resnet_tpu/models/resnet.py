@@ -231,6 +231,10 @@ def forward(
         and not capture
         and ecfg.layout == "NHWC"
         and ecfg.bn_mode == "batch"
+        # ghost BN is a standard-path feature; the fused engines compute
+        # full-batch stats in the conv epilogue and must not silently
+        # drop the bn_stats_batch semantics
+        and not ecfg.bn_stats_batch
     ):
         from .fused_resnet import fused_forward
 

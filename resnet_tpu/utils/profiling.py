@@ -64,6 +64,7 @@ def time_fn(
     warmup: int = 2,
     feedback: Optional[Callable] = None,
     repeats: int = 3,
+    compiler_options: Optional[dict] = None,
 ) -> float:
     """Slope-time a callable: seconds per call on the default device.
 
@@ -72,8 +73,14 @@ def time_fn(
     auto-scale so the slope window is >= ~80ms (sub-ms ops drown in tunnel
     jitter otherwise); the median of ``repeats`` slopes is returned.
     ``feedback(out, args) -> args`` chains iterations through a data
-    dependency when independent dispatches would pipeline."""
-    jfn = jax.jit(fn)
+    dependency when independent dispatches would pipeline.
+    ``compiler_options`` ride into the jit (a pre-jitted fn would lose
+    them — jit-of-jit inlines the inner call and drops its options)."""
+    jfn = (
+        jax.jit(fn, compiler_options=compiler_options)
+        if compiler_options
+        else jax.jit(fn)
+    )
 
     def run(n):
         a = args
@@ -242,8 +249,7 @@ def build_op_table(
             table[name] = {"ms_fwd_bwd": 1e3 * _time_adam(iters)}
             continue
         row: Dict[str, float] = {"ms_fwd": 1e3 * time_fn(fn, args, iters=iters)}
-        if kind != "softmax_ce" or True:
-            row["ms_fwd_bwd"] = 1e3 * time_grad_fn(fn, args, iters=iters)
+        row["ms_fwd_bwd"] = 1e3 * time_grad_fn(fn, args, iters=iters)
         if "flops" in spec:
             row["tflops_fwd"] = spec["flops"] / (row["ms_fwd"] * 1e9)
             row["tflops_fwd_bwd"] = 3 * spec["flops"] / (row["ms_fwd_bwd"] * 1e9)

@@ -67,9 +67,11 @@ def main():
 
             return jax.grad(loss_fn)(p)
 
-        t_f = time_fn(fwd_only, (params, x), iters=16)
+        copts = ecfg.jit_compiler_options() or None
+        t_f = time_fn(fwd_only, (params, x), iters=16,
+                      compiler_options=copts)
         t_fb = time_fn(
-            fwd_bwd, (params, x, labels), iters=12,
+            fwd_bwd, (params, x, labels), iters=12, compiler_options=copts,
         )
         results[engine] = {
             "fwd_ms": round(t_f * 1e3, 2),
