@@ -410,6 +410,64 @@ def _fused_conv_bwd(stride, padding, prologue, relu, interpret, cap, res, cts):
 fused_conv.defvjp(_fused_conv_fwd, _fused_conv_bwd)
 
 
+# ------------------------------------------------- XLA chain, custom VJP
+
+
+def _chain_xla_value(x, w, scale, shift, stride, prologue, relu, cap, prec):
+    """XLA realization of the fused_conv contract: prologue BN-apply (XLA
+    fuses it into the conv read), autotuned conv, sibling-sum stats on the
+    output. Returns (y, [sum(y), sum(y^2)])."""
+    from ..ops.conv import conv2d
+
+    if prologue:
+        u = x.astype(jnp.float32) * jnp.asarray(scale, jnp.float32) + jnp.asarray(
+            shift, jnp.float32
+        )
+        if relu:
+            u = jnp.maximum(u, 0.0)
+            if cap is not None:
+                u = jnp.minimum(u, cap)
+        u = u.astype(x.dtype)
+    else:
+        u = x
+    y = conv2d(u, w.astype(x.dtype), stride=stride, layout="NHWC",
+               precision=prec)
+    yf = y.astype(jnp.float32)
+    sums = jnp.stack(
+        [jnp.sum(yf, axis=(0, 1, 2)), jnp.sum(yf * yf, axis=(0, 1, 2))]
+    )
+    return y, sums
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def conv_chain_xla(x, w, scale, shift, stride, prologue, relu, cap, prec):
+    """fused_conv's contract on pure XLA ops with the closed-form backward.
+
+    Autodiff of the stats path (sums -> mean/var -> next layer's affine)
+    measured +18ms/step over the standard engine's backward (fusedxla bwd
+    89.4ms vs xla 71.4, tools/bench_engine_split.py) — the moments VJP and
+    the stack/unstack chain cost an extra full pass over y. The
+    closed-form backward folds the sums cotangents into dy
+    (d(sum y)/dy = 1, d(sum y^2)/dy = 2y) and recomputes u from x
+    (resnet_clean.cu's recompute strategy), sharing _fused_conv_bwd with
+    the Pallas engine."""
+    return _chain_xla_value(x, w, scale, shift, stride, prologue, relu,
+                            cap, prec)
+
+
+def _chain_xla_fwd(x, w, scale, shift, stride, prologue, relu, cap, prec):
+    y, sums = _chain_xla_value(x, w, scale, shift, stride, prologue, relu,
+                               cap, prec)
+    return (y, sums), (x, w, scale, shift, y)
+
+
+def _chain_xla_bwd(stride, prologue, relu, cap, prec, res, cts):
+    return _fused_conv_bwd(stride, None, prologue, relu, False, cap, res, cts)
+
+
+conv_chain_xla.defvjp(_chain_xla_fwd, _chain_xla_bwd)
+
+
 # -------------------------------------------------------------- fused join
 
 

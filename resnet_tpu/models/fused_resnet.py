@@ -63,27 +63,13 @@ if _os.environ.get("RESNET_TPU_FUSED_WINS"):
 
 
 def _conv_chain_xla(x, w, scale, shift, stride, prologue, relu, cap, prec):
-    """XLA realization of the fused_conv contract: bn-apply on the input
-    (XLA fuses it into the conv read), autotuned conv, one-pass moments on
-    the output. Returns (y, [sum(y), sum(y^2)]) exactly like fused_conv."""
-    from ..ops.batchnorm import batch_moments
-    from ..ops.conv import conv2d
+    """XLA realization of the fused_conv contract with the closed-form
+    backward (kernels/fused_conv.py::conv_chain_xla — autodiff through the
+    sums->affine path costs an extra full pass over y per layer)."""
+    from ..kernels.fused_conv import conv_chain_xla
 
-    if prologue:
-        u = x.astype(jnp.float32) * scale + shift
-        if relu:
-            u = jnp.maximum(u, 0.0)
-            if cap is not None:
-                u = jnp.minimum(u, cap)
-        u = u.astype(x.dtype)
-    else:
-        u = x
-    y = conv2d(u, w.astype(x.dtype), stride=stride, layout="NHWC",
-               precision=prec)
-    mean, var = batch_moments(y, "NHWC")
-    m = y.shape[0] * y.shape[1] * y.shape[2]
-    sums = jnp.stack([mean * m, (var + mean * mean) * m])
-    return y, sums
+    return conv_chain_xla(x, w, scale, shift, stride, prologue, relu, cap,
+                          prec)
 
 
 def _conv_site(x, w, scale, shift, stride, prologue, relu, interp, cap,
