@@ -416,7 +416,11 @@ fused_conv.defvjp(_fused_conv_fwd, _fused_conv_bwd)
 def _chain_xla_value(x, w, scale, shift, stride, prologue, relu, cap, prec):
     """XLA realization of the fused_conv contract: prologue BN-apply (XLA
     fuses it into the conv read), autotuned conv, sibling-sum stats on the
-    output. Returns (y, [sum(y), sum(y^2)])."""
+    output. Returns (y, sums, u) with sums = [sum(y), sum(y^2)] and u the
+    prologue output (saved for backward — unlike the Pallas engine, the
+    XLA chain is not memory-constrained, and x stays alive anyway for the
+    prologue's dscale/dshift, so saving u costs no extra live memory and
+    removes a full elementwise recompute pass per conv in backward)."""
     from ..ops.conv import conv2d
 
     if prologue:
@@ -436,7 +440,7 @@ def _chain_xla_value(x, w, scale, shift, stride, prologue, relu, cap, prec):
     sums = jnp.stack(
         [jnp.sum(yf, axis=(0, 1, 2)), jnp.sum(yf * yf, axis=(0, 1, 2))]
     )
-    return y, sums
+    return y, sums, u
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
@@ -448,21 +452,56 @@ def conv_chain_xla(x, w, scale, shift, stride, prologue, relu, cap, prec):
     89.4ms vs xla 71.4, tools/bench_engine_split.py) — the moments VJP and
     the stack/unstack chain cost an extra full pass over y. The
     closed-form backward folds the sums cotangents into dy
-    (d(sum y)/dy = 1, d(sum y^2)/dy = 2y) and recomputes u from x
-    (resnet_clean.cu's recompute strategy), sharing _fused_conv_bwd with
-    the Pallas engine."""
-    return _chain_xla_value(x, w, scale, shift, stride, prologue, relu,
-                            cap, prec)
+    (d(sum y)/dy = 1, d(sum y^2)/dy = 2y) and reads the saved u (the
+    recompute-u strategy is the Pallas engine's memory trade, pure cost
+    here)."""
+    y, sums, _ = _chain_xla_value(x, w, scale, shift, stride, prologue,
+                                  relu, cap, prec)
+    return y, sums
 
 
 def _chain_xla_fwd(x, w, scale, shift, stride, prologue, relu, cap, prec):
-    y, sums = _chain_xla_value(x, w, scale, shift, stride, prologue, relu,
-                               cap, prec)
-    return (y, sums), (x, w, scale, shift, y)
+    y, sums, u = _chain_xla_value(x, w, scale, shift, stride, prologue,
+                                  relu, cap, prec)
+    return (y, sums), (x, w, scale, shift, y, u)
 
 
 def _chain_xla_bwd(stride, prologue, relu, cap, prec, res, cts):
-    return _fused_conv_bwd(stride, None, prologue, relu, False, cap, res, cts)
+    from jax import lax
+
+    x, w, scale, shift, y, u = res
+    dy, dsums = cts
+    padding = _resolve_pad(x, w, stride, None)
+
+    # stats cotangents fold into dy: d(Σy)/dy = 1, d(Σy²)/dy = 2y
+    dy_tot = (
+        dy.astype(jnp.float32)
+        + dsums[0].astype(jnp.float32)
+        + 2.0 * dsums[1].astype(jnp.float32) * y.astype(jnp.float32)
+    ).astype(u.dtype)
+
+    dn = ("NHWC", "HWIO", "NHWC")
+
+    def conv_ref(u_, w_):
+        return lax.conv_general_dilated(
+            u_, w_, (stride, stride), padding, dimension_numbers=dn
+        )
+
+    _, conv_vjp = jax.vjp(conv_ref, u, w.astype(u.dtype))
+    du, dw = conv_vjp(dy_tot)
+    dw = dw.astype(w.dtype)
+
+    if prologue:
+        dx, dscale, dshift = _prologue_bwd_xla(
+            x, du, scale, shift, relu=relu, cap=cap
+        )
+        dscale = dscale.astype(jnp.asarray(scale).dtype)
+        dshift = dshift.astype(jnp.asarray(shift).dtype)
+    else:
+        dx = du.astype(x.dtype)
+        dscale = jnp.zeros_like(jnp.asarray(scale))
+        dshift = jnp.zeros_like(jnp.asarray(shift))
+    return dx, dw, dscale, dshift
 
 
 conv_chain_xla.defvjp(_chain_xla_fwd, _chain_xla_bwd)
