@@ -125,7 +125,7 @@ class ModelConfig:
 class ExecutionConfig:
     """How the model executes on the chip — the reference's 'variant' axis."""
 
-    kernels: str = "xla"  # 'xla' | 'pallas' (BN/residual/FC/optimizer)
+    kernels: str = "xla"  # 'xla' | 'pallas' | 'fused' | 'hybrid' | 'fusedxla'
     # Convolution engine, independent axis: XLA's conv is heavily autotuned
     # (the cudnnFind* role); the Pallas implicit-GEMM conv is selectable
     # for experimentation/parity (~ the reference keeping both hand-rolled
@@ -189,6 +189,28 @@ class ExecutionConfig:
     # auto-raises to 32MB). Rides per-jit compiler_options — env XLA_FLAGS
     # does not reach the remote compile helper on tunneled stacks.
     scoped_vmem_limit_kib: Optional[int] = None
+
+    def __post_init__(self):
+        # typos here previously fell through to the XLA paths silently
+        # (dispatch only tests engine == 'pallas'; forward only tests the
+        # fused family) — fail loudly instead
+        _check = {
+            "kernels": (self.kernels,
+                        ("xla", "pallas", "fused", "hybrid", "fusedxla")),
+            "conv_kernels": (self.conv_kernels, ("xla", "pallas")),
+            "layout": (self.layout, ("NHWC", "NCHW")),
+            "compute_dtype": (self.compute_dtype, ("float32", "bfloat16")),
+            "remat": (self.remat, ("none", "block", "stage", "elementwise")),
+            "bn_mode": (self.bn_mode, ("batch", "frozen", "off")),
+            "matmul_precision": (self.matmul_precision,
+                                 ("default", "high", "highest")),
+        }
+        for field, (value, allowed) in _check.items():
+            if value not in allowed:
+                raise ValueError(
+                    f"ExecutionConfig.{field}={value!r}; expected one of "
+                    f"{allowed}"
+                )
 
     def jit_compiler_options(self) -> dict:
         """Per-jit XLA compiler options implied by this config (TPU only)."""

@@ -238,3 +238,51 @@ def test_ghost_bn_custom_vjp_matches_autodiff():
     y_full, _ = batch_norm(x, gamma, beta, eps=1e-5)
     y_g, _ = batch_norm_ghost(x, gamma, beta, n, eps=1e-5)
     np.testing.assert_allclose(np.asarray(y_full), np.asarray(y_g), rtol=1e-6)
+
+
+def test_ghost_bn_nchw_layout():
+    """batch_norm_ghost handles NCHW (batch is dim 0 in both layouts; the
+    stats-sample mask and m_k must follow the layout's reduce axes)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from resnet_tpu.ops.batchnorm import batch_moments, batch_norm, batch_norm_ghost
+
+    rng = np.random.default_rng(5)
+    n, c, h, w = 6, 3, 4, 5
+    k = 3
+    x = jnp.asarray(rng.normal(0, 2, (n, c, h, w)), jnp.float32)
+    gamma = jnp.asarray(rng.normal(1, 0.2, (c,)), jnp.float32)
+    beta = jnp.asarray(rng.normal(0, 0.2, (c,)), jnp.float32)
+    dy = jnp.asarray(rng.normal(0, 1, (n, c, h, w)), jnp.float32)
+
+    def ref(x, gamma, beta):
+        mean, var = batch_moments(x[:k], "NCHW")
+        y, _ = batch_norm(x, gamma, beta, mean=mean, var=var, eps=1e-5,
+                          layout="NCHW")
+        return jnp.sum(y * dy)
+
+    def ghost(x, gamma, beta):
+        y, _ = batch_norm_ghost(x, gamma, beta, k, eps=1e-5, layout="NCHW")
+        return jnp.sum(y * dy)
+
+    np.testing.assert_allclose(float(ref(x, gamma, beta)),
+                               float(ghost(x, gamma, beta)), rtol=1e-5)
+    g_ref = jax.grad(ref, argnums=(0, 1, 2))(x, gamma, beta)
+    g_ghost = jax.grad(ghost, argnums=(0, 1, 2))(x, gamma, beta)
+    for a, b in zip(g_ref, g_ghost):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_execution_config_validates_axes():
+    import pytest
+
+    from resnet_tpu.config import ExecutionConfig
+
+    ExecutionConfig(kernels="fusedxla")  # valid
+    with pytest.raises(ValueError, match="kernels"):
+        ExecutionConfig(kernels="palas")
+    with pytest.raises(ValueError, match="bn_mode"):
+        ExecutionConfig(bn_mode="running")
