@@ -51,6 +51,9 @@ def main():
                     help="fused = one Pallas pass over the raveled params"
                          " (pays ravel/unravel concats); per-leaf = jnp"
                          " updates XLA fuses per tensor")
+    ap.add_argument("--eval", action="store_true",
+                    help="benchmark the inference path instead (eval_step:"
+                         " forward with running-stats BN + metrics)")
     ap.add_argument("--scan", type=int, default=0,
                     help="K>0: run K train steps inside ONE jitted lax.scan"
                          " (device-side loop, the shape of a real TPU input"
@@ -92,7 +95,16 @@ def main():
     )
 
     state = init_train_state(cfg)
-    step = make_train_step(cfg)
+    if args.eval:
+        from resnet_tpu.train import make_eval_step
+
+        eval_step = make_eval_step(cfg)
+
+        def step(s, b):  # same call contract; state passes through
+            return s, eval_step(s, b)
+
+    else:
+        step = make_train_step(cfg)
     if args.scan:
         import functools
 
@@ -148,10 +160,15 @@ def main():
     img_per_sec = batch / dt_per_step
     n_chips = max(1, len(jax.devices()))
     per_chip = img_per_sec / n_chips
+    metric = (
+        "resnet50_eval_images_per_sec_per_chip"
+        if args.eval
+        else "resnet50_train_images_per_sec_per_chip"
+    )
     print(
         json.dumps(
             {
-                "metric": "resnet50_train_images_per_sec_per_chip",
+                "metric": metric,
                 "value": round(per_chip, 2),
                 "unit": "images/sec/chip",
                 "vs_baseline": round(per_chip / BASELINE_IMG_PER_SEC_PER_CHIP, 4),
