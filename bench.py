@@ -60,6 +60,9 @@ def main():
                          " pipeline) — isolates device throughput from"
                          " per-dispatch host/tunnel latency")
     args = ap.parse_args()
+    if args.eval and args.scan:
+        ap.error("--eval and --scan are mutually exclusive (the scan loop "
+                 "drives the training step)")
 
     from resnet_tpu.config import (
         DataConfig,

@@ -31,12 +31,13 @@ def _enable_compile_cache() -> None:
     # AMX/AVX512 features the local host lacks -> SIGILL risk). TPU
     # executables are target-keyed, and the minutes-long tunnel compiles
     # are the point. Resolving the backend at import time is side-effectful,
-    # so the decision comes from the configured platform list (env var or
-    # the sitecustomize-set jax_platforms): enable only when a non-CPU
-    # platform is explicitly configured; a bare/unset platform list (e.g. a
-    # CPU-only host with JAX_PLATFORMS unset) skips the cache — safe,
-    # merely unaccelerated. Opt in explicitly with
-    # RESNET_TPU_COMPILE_CACHE=<dir> to force a cache anywhere.
+    # so the decision is made from cheap signals: an explicitly configured
+    # non-CPU platform (env var or the sitecustomize-set jax_platforms), or
+    # TPU hardware evidence (libtpu installed / an accel device node) — the
+    # normal Cloud TPU VM case, where nothing sets JAX_PLATFORMS. A host
+    # with neither signal (CPU-only dev box) skips the cache — safe, merely
+    # unaccelerated. Opt in explicitly with RESNET_TPU_COMPILE_CACHE=<dir>
+    # to force a cache anywhere.
     if want == "1":
         platforms = (
             _os.environ.get("JAX_PLATFORMS", "")
@@ -44,7 +45,16 @@ def _enable_compile_cache() -> None:
         ).lower()
         non_cpu = [p for p in platforms.split(",") if p and p != "cpu"]
         if not non_cpu:
-            return
+            import glob as _glob
+            import importlib.util as _ilu
+
+            has_tpu = bool(
+                _ilu.find_spec("libtpu")
+                or _glob.glob("/dev/accel*")
+                or _glob.glob("/dev/vfio/*")
+            )
+            if not has_tpu:
+                return
     path = (
         want
         if want not in ("", "1")

@@ -211,6 +211,11 @@ class ExecutionConfig:
                     f"ExecutionConfig.{field}={value!r}; expected one of "
                     f"{allowed}"
                 )
+        if self.bn_stats_batch < 0:
+            raise ValueError(
+                f"ExecutionConfig.bn_stats_batch={self.bn_stats_batch}; "
+                "expected 0 (full batch) or a positive stats-sample size"
+            )
 
     def jit_compiler_options(self) -> dict:
         """Per-jit XLA compiler options implied by this config (TPU only)."""

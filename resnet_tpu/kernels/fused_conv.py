@@ -217,11 +217,12 @@ def _fused_conv_raw(
 
 
 def _prologue_bwd_xla(x, du, scale, shift, *, relu, cap=None):
-    """jnp realization of _prologue_bwd: XLA fuses the gate recompute, dx,
-    and the two sibling channel reductions into the surrounding backward —
-    a Pallas call here is a fusion barrier that costs more than the one
-    fused read it saves (measured: every in-step Pallas site boundary runs
-    ~2ms of layout/pad fixups at b256, tools/bench_engine_split.py)."""
+    """(dx, dscale, dshift) for u = relu(x*scale+shift), as plain jnp: XLA
+    fuses the gate recompute, dx, and the two sibling channel reductions
+    into the surrounding backward — a Pallas kernel here (one existed; see
+    git history) is a fusion barrier that costs more than the one fused
+    read it saves (measured: every in-step Pallas site boundary runs ~2ms
+    of layout/pad fixups at b256, tools/bench_engine_split.py)."""
     xf = x.astype(jnp.float32)
     dv = du.astype(jnp.float32)
     if relu:
@@ -354,44 +355,35 @@ def _fused_conv_fwd(x, w, scale, shift, stride, padding, prologue, relu,
     return (y, sums), (x, w, scale, shift, y)
 
 
-def _fused_conv_bwd(stride, padding, prologue, relu, interpret, cap, res, cts):
+def _conv_contract_bwd(u, x, w, scale, shift, y, dy, dsums, *, stride,
+                       padding, prologue, relu, cap, precision=None):
+    """Shared closed-form backward of the (prologue, conv, stats-epilogue)
+    contract for both the Pallas fused conv and the XLA chain.
+
+    Stats cotangents fold into dy (d(Σy)/dy = 1, d(Σy²)/dy = 2y); conv
+    cotangents come from XLA's conv VJP (guaranteed consistent with the
+    Pallas forward, which matches lax conv semantics bit-for-bit in fp32);
+    the prologue's (dx, dscale, dshift) is one fused jnp pass.
+    """
     from jax import lax
 
-    x, w, scale, shift, y = res
-    dy, dsums = cts
-    padding = _resolve_pad(x, w, stride, padding)
-
-    # stats cotangents fold into dy: d(Σy)/dy = 1, d(Σy²)/dy = 2y
     yf = y.astype(jnp.float32)
     dy_tot = (
         dy.astype(jnp.float32)
         + dsums[0].astype(jnp.float32)
         + 2.0 * dsums[1].astype(jnp.float32) * yf
-    ).astype(x.dtype)
+    ).astype(u.dtype)
 
-    # recompute u (resnet_clean recompute strategy; elementwise, XLA-fused)
-    if prologue:
-        v = x.astype(jnp.float32) * scale.astype(jnp.float32) + shift.astype(
-            jnp.float32
-        )
-        u = jnp.maximum(v, 0.0) if relu else v
-        if relu and cap is not None:
-            u = jnp.minimum(u, cap)
-        u = u.astype(x.dtype)
-    else:
-        u = x
-
-    # conv cotangents via XLA's conv VJP — guaranteed consistent with the
-    # Pallas forward (which matches lax conv semantics bit-for-bit in fp32)
     dn = ("NHWC", "HWIO", "NHWC")
 
     def conv_ref(u_, w_):
         return lax.conv_general_dilated(
-            u_, w_, (stride, stride), padding, dimension_numbers=dn
+            u_, w_, (stride, stride), padding, dimension_numbers=dn,
+            precision=precision,
         )
 
     _, conv_vjp = jax.vjp(conv_ref, u, w.astype(u.dtype))
-    du, dw = conv_vjp(dy_tot.astype(u.dtype))
+    du, dw = conv_vjp(dy_tot)
     dw = dw.astype(w.dtype)
 
     if prologue:
@@ -405,6 +397,29 @@ def _fused_conv_bwd(stride, padding, prologue, relu, interpret, cap, res, cts):
         dscale = jnp.zeros_like(jnp.asarray(scale))
         dshift = jnp.zeros_like(jnp.asarray(shift))
     return dx, dw, dscale, dshift
+
+
+def _fused_conv_bwd(stride, padding, prologue, relu, interpret, cap, res, cts):
+    x, w, scale, shift, y = res
+    dy, dsums = cts
+    padding = _resolve_pad(x, w, stride, padding)
+
+    # recompute u (resnet_clean recompute strategy; elementwise, XLA-fused
+    # — the Pallas engine trades this recompute for not storing u)
+    if prologue:
+        v = x.astype(jnp.float32) * scale.astype(jnp.float32) + shift.astype(
+            jnp.float32
+        )
+        u = jnp.maximum(v, 0.0) if relu else v
+        if relu and cap is not None:
+            u = jnp.minimum(u, cap)
+        u = u.astype(x.dtype)
+    else:
+        u = x
+    return _conv_contract_bwd(
+        u, x, w, scale, shift, y, dy, dsums, stride=stride, padding=padding,
+        prologue=prologue, relu=relu, cap=cap,
+    )
 
 
 fused_conv.defvjp(_fused_conv_fwd, _fused_conv_bwd)
@@ -467,41 +482,18 @@ def _chain_xla_fwd(x, w, scale, shift, stride, prologue, relu, cap, prec):
 
 
 def _chain_xla_bwd(stride, prologue, relu, cap, prec, res, cts):
-    from jax import lax
+    from ..ops.conv import _PRECISION
 
     x, w, scale, shift, y, u = res
     dy, dsums = cts
-    padding = _resolve_pad(x, w, stride, None)
-
-    # stats cotangents fold into dy: d(Σy)/dy = 1, d(Σy²)/dy = 2y
-    dy_tot = (
-        dy.astype(jnp.float32)
-        + dsums[0].astype(jnp.float32)
-        + 2.0 * dsums[1].astype(jnp.float32) * y.astype(jnp.float32)
-    ).astype(u.dtype)
-
-    dn = ("NHWC", "HWIO", "NHWC")
-
-    def conv_ref(u_, w_):
-        return lax.conv_general_dilated(
-            u_, w_, (stride, stride), padding, dimension_numbers=dn
-        )
-
-    _, conv_vjp = jax.vjp(conv_ref, u, w.astype(u.dtype))
-    du, dw = conv_vjp(dy_tot)
-    dw = dw.astype(w.dtype)
-
-    if prologue:
-        dx, dscale, dshift = _prologue_bwd_xla(
-            x, du, scale, shift, relu=relu, cap=cap
-        )
-        dscale = dscale.astype(jnp.asarray(scale).dtype)
-        dshift = dshift.astype(jnp.asarray(shift).dtype)
-    else:
-        dx = du.astype(x.dtype)
-        dscale = jnp.zeros_like(jnp.asarray(scale))
-        dshift = jnp.zeros_like(jnp.asarray(shift))
-    return dx, dw, dscale, dshift
+    return _conv_contract_bwd(
+        u, x, w, scale, shift, y, dy, dsums, stride=stride,
+        padding=_resolve_pad(x, w, stride, None), prologue=prologue,
+        relu=relu, cap=cap,
+        # gradient convs at the forward's matmul_precision — defaulting
+        # here would silently drop fp32 configs to bf16-pass gradients
+        precision=_PRECISION[prec],
+    )
 
 
 conv_chain_xla.defvjp(_chain_xla_fwd, _chain_xla_bwd)
