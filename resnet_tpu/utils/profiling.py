@@ -175,7 +175,10 @@ def _resnet50_op_specs(batch: int, dtype) -> Dict[str, Dict[str, Any]]:
         "conv_s2_3x3s2": conv_spec((b, 56, 56, 128), (3, 3, 128, 128), 2),
         "conv_s3_3x3": conv_spec((b, 14, 14, 256), (3, 3, 256, 256), 1),
         "conv_s4_3x3": conv_spec((b, 7, 7, 512), (3, 3, 512, 512), 1),
+        # both projection-shortcut forms: the reference's 3x3/s2 quirk
+        # (resnet.cu:770-797) and the standard torchvision 1x1/s2
         "conv_proj_3x3s2": conv_spec((b, 56, 56, 256), (3, 3, 256, 512), 2),
+        "conv_proj_1x1s2": conv_spec((b, 56, 56, 256), (1, 1, 256, 512), 2),
         "bn_relu_56x256": bn_spec((b, 56, 56, 256)),
         "bn_relu_14x1024": bn_spec((b, 14, 14, 1024)),
         "bn_relu_7x2048": bn_spec((b, 7, 7, 2048)),
