@@ -1,7 +1,7 @@
 # Top-level targets (the reference's Makefile builds six nvcc binaries,
 # Makefile:1-31; here: native components + tests + bench).
 
-.PHONY: all native test test-native bench clean
+.PHONY: all native test test-native bench rehearse clean
 
 all: native
 
@@ -16,6 +16,13 @@ test-native: native
 
 bench:
 	python bench.py
+
+# end-to-end rehearsal of the 76% recipe flag composition
+# (docs/imagenet_76_recipe.md): tiny JPEG ImageFolder -> real CLI with
+# SGD+warmup/step+smoothing+wd-mask+flip -> checkpoint -> fresh-process
+# resume -> running-stats eval above chance
+rehearse:
+	python -m pytest tests/test_rehearsal.py -q
 
 clean:
 	$(MAKE) -C csrc clean

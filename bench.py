@@ -28,7 +28,8 @@ def main():
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--remat", default="none")
     ap.add_argument("--kernels", default="xla",
-                    choices=["xla", "pallas", "fused", "hybrid", "fusedxla"])
+                    choices=["xla", "pallas", "fused", "hybrid", "fusedxla",
+                             "blockfused"])
     ap.add_argument("--projections", default="standard",
                     choices=["standard", "reference"],
                     help="'standard' = torchvision ResNet-50 (1x1/s2"
@@ -59,11 +60,32 @@ def main():
                          " (device-side loop, the shape of a real TPU input"
                          " pipeline) — isolates device throughput from"
                          " per-dispatch host/tunnel latency")
+    ap.add_argument("--no-dual", action="store_true",
+                    help="skip the secondary reference-topology line (the"
+                         " default run prints BOTH topologies, each line"
+                         " self-describing; headline = last line)")
     args = ap.parse_args()
     if args.eval and args.scan:
         ap.error("--eval and --scan are mutually exclusive (the scan loop "
                  "drives the training step)")
 
+    # Dual-topology default: one labeled line for the reference topology
+    # (3x3/s2 projections, resnet.cu:770-797, ~2.3x projection FLOPs),
+    # then the standard-topology headline LAST (the driver parses the
+    # final line). Every line carries topology/batch/dtype so the artifact
+    # can never silently change meaning again (round-2 verdict item #3).
+    if (
+        not args.no_dual
+        and not args.eval
+        and not args.scan
+        and args.projections == "standard"
+    ):
+        result = run_bench(args, projections="reference")
+        print(json.dumps(result))
+    print(json.dumps(run_bench(args, projections=args.projections)))
+
+
+def run_bench(args, projections: str) -> dict:
     from resnet_tpu.config import (
         DataConfig,
         ExecutionConfig,
@@ -82,7 +104,7 @@ def main():
         model=model_config(
             "resnet50",
             input_dim=image_dim,
-            stride_projection_kernel=3 if args.projections == "reference" else 1,
+            stride_projection_kernel=3 if projections == "reference" else 1,
         ),
         execution=ExecutionConfig(
             kernels=args.kernels,
@@ -168,16 +190,21 @@ def main():
         if args.eval
         else "resnet50_train_images_per_sec_per_chip"
     )
-    print(
-        json.dumps(
-            {
-                "metric": metric,
-                "value": round(per_chip, 2),
-                "unit": "images/sec/chip",
-                "vs_baseline": round(per_chip / BASELINE_IMG_PER_SEC_PER_CHIP, 4),
-            }
-        )
-    )
+    return {
+        "metric": metric,
+        "value": round(per_chip, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(per_chip / BASELINE_IMG_PER_SEC_PER_CHIP, 4),
+        # self-description (round-2 verdict item #3): the number's meaning
+        # rides in the artifact, not in docs/git archaeology
+        "topology": projections,  # 'standard' 1x1/s2 | 'reference' 3x3/s2
+        "batch": batch,
+        "dtype": args.dtype,
+        "engine": args.kernels,
+        "step_ms": round(dt_per_step * 1000, 2),
+        "scan": args.scan,
+        "platform": platform,
+    }
 
 
 if __name__ == "__main__":

@@ -43,7 +43,13 @@ def _enable_compile_cache() -> None:
             _os.environ.get("JAX_PLATFORMS", "")
             or (_jax.config.jax_platforms or "")
         ).lower()
-        non_cpu = [p for p in platforms.split(",") if p and p != "cpu"]
+        configured = [p for p in platforms.split(",") if p]
+        non_cpu = [p for p in configured if p != "cpu"]
+        if configured and not non_cpu:
+            # explicit all-CPU configuration (e.g. JAX_PLATFORMS=cpu):
+            # honor it — no cache, even on a host with TPU hardware
+            # signals (the CPU-AOT ISA exclusion applies)
+            return
         if not non_cpu:
             import glob as _glob
             import importlib.util as _ilu

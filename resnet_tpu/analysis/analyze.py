@@ -93,23 +93,26 @@ def crosscheck_dump(
         dlogits[np.arange(n), labels] -= 1.0  # summed CE grad
         dw = pool.T @ dlogits
         dpool = dlogits @ w.T
-        errs["fc_grad_shapes_ok"] = float(
-            (dw.shape == w.shape) and (dpool.shape == pool.shape)
-        )
+        # value comparison is the ONLY gradient check; an absent dumped
+        # gradient is reported as skipped, never as ok (a shape check
+        # passing on its own recomputed arrays proves nothing)
         if fc_grad is not None:
             errs["fc_grad"] = float(
                 np.abs(dw - np.asarray(fc_grad, np.float64)).max()
             )
+        else:
+            errs["fc_grad_skipped"] = 1.0
         if pool_grad is not None:
             errs["avgpool_grad"] = float(
                 np.abs(dpool - np.asarray(pool_grad, np.float64)).max()
             )
+        else:
+            errs["avgpool_grad_skipped"] = 1.0
 
     for name, err in errs.items():
-        if name.endswith("_ok"):
-            assert err == 1.0, f"{name} failed"
-        else:
-            assert err < atol + rtol * 10, f"{name}: max abs err {err}"
+        if name.endswith("_skipped"):
+            continue
+        assert err < atol + rtol * 10, f"{name}: max abs err {err}"
     return errs
 
 

@@ -38,20 +38,22 @@ def _stats(sums, m):
     return mean, var
 
 
-# Measured per-shape winners for the Pallas fused conv over the XLA chain
-# (apply + conv + moments), v5e b256 bf16, slope-timed forward
-# (tools/bench_fused_micro.py). This is the TPU analogue of the reference's
-# per-layer cudnnFind algo cache (resnet_cudnn_fast.cu:1275-1303): measure
-# both engines per layer shape once, dispatch to the winner. Keys:
-# (hw, cin, cout, k, stride).
-_FUSED_WINS = {
-    (56, 64, 256, 1, 1),    # s1 expand: 2.73 -> 1.75 ms
-    (14, 256, 256, 3, 1),   # s3 3x3:    0.78 -> 0.70 ms
-    (14, 256, 1024, 1, 1),  # s3 expand: 1.89 -> 1.22 ms
-}
+# Per-shape sites where the Pallas fused conv replaces the XLA chain in
+# the 'hybrid' engine — the TPU analogue of the reference's per-layer
+# cudnnFind algo cache (resnet_cudnn_fast.cu:1275-1303). EMPTY by default:
+# round-2 in-step measurement proved microbench winners do not survive the
+# step (hybrid fwd 56.7ms vs xla 27.5ms — every in-step pallas_call site
+# pays ms-scale layout-fixup cost, docs/perf_ceiling_r2.md), so a site only
+# enters this set via an IN-STEP measurement: run
+# tools/bench_hybrid_sites.py on the target chip, which enables one
+# candidate site at a time inside the full jitted step and keeps only
+# measured end-to-end winners; export its output via RESNET_TPU_FUSED_WINS.
+# Keys: (hw, cin, cout, k, stride). Scope of any measured entry is the
+# exact (chip, batch, dtype) it was measured at.
+_FUSED_WINS: set = set()
 
-# experiment hook: RESNET_TPU_FUSED_WINS="56,64,256,1,1;14,256,1024,1,1"
-# overrides the site table (tools/bench_engine_split.py ablations)
+# in-step-measured site table: RESNET_TPU_FUSED_WINS="56,64,256,1,1;..."
+# (produced by tools/bench_hybrid_sites.py)
 import os as _os
 
 if _os.environ.get("RESNET_TPU_FUSED_WINS"):

@@ -36,6 +36,12 @@ _PRECISION = {
     "highest": lax.Precision.HIGHEST,
 }
 
+# A/B gate for the strided-1x1 subsample+dot route (perf attribution;
+# semantics identical either way — tests cover both against lax conv)
+import os as _os
+
+_S2_DOT = _os.environ.get("RESNET_TPU_1X1S2_DOT", "1") == "1"
+
 
 def spatial_dims(layout: str) -> Tuple[int, int]:
     return (1, 2) if layout == "NHWC" else (2, 3)
@@ -62,11 +68,29 @@ def conv2d(
     """
     kh, kw = w.shape[0], w.shape[1]
     hdim, wdim = spatial_dims(layout)
-    if kh == 1 and kw == 1 and stride == 1 and padding is None and groups == 1:
+    if (
+        kh == 1 and kw == 1 and padding is None and groups == 1
+        and (stride == 1 or _S2_DOT)
+    ):
         # 1x1 conv IS a matmul over (N*H*W, Cin) — route it straight to the
         # MXU as dot. ResNet-50's FLOPs are dominated by 1x1 reduce/expand
         # convs (32 of 53 per step); measured ~10x faster than this
-        # XLA stack's conv lowering for the same shape.
+        # XLA stack's conv lowering for the same shape. Stride-2 (the
+        # standard-topology projection shortcuts) subsamples first: a 1x1
+        # window never overlaps, so conv(x, w, s) == dot(x[::s, ::s], w)
+        # exactly (reference_padding is 0 for k=1), and the backward is a
+        # dot VJP plus a cheap interior-pad scatter instead of an
+        # input-dilated gradient conv.
+        if stride > 1:
+            if (x.shape[hdim] % stride) or (x.shape[wdim] % stride):
+                raise ValueError(
+                    "reference conv geometry requires stride | in_dim, got "
+                    f"{x.shape[hdim]}x{x.shape[wdim]}/{stride}"
+                )
+            if layout == "NHWC":
+                x = x[:, ::stride, ::stride, :]
+            else:
+                x = x[:, :, ::stride, ::stride]
         wk = w.reshape(w.shape[2], w.shape[3]).astype(x.dtype)
         if layout == "NHWC":
             n, h, ww, c = x.shape

@@ -238,6 +238,24 @@ def restore_checkpoint(
     opt_step = int(ckpt.get("opt_step", ckpt["cur_dump_id"]))
 
     opt = state_template.opt_state
+    # catch optimizer mismatch early with a actionable message (a dump
+    # written by one optimizer cannot hydrate the other's state)
+    if isinstance(opt, GuardedAdamState) and not os.path.isdir(
+        os.path.join(root, "means")
+    ) and os.path.isdir(os.path.join(root, "momentum")):
+        raise ValueError(
+            f"dump {root} was written by an SGD run (momentum/ present, "
+            "means/ absent) but the configured optimizer is adam; rerun "
+            "with --optimizer sgd"
+        )
+    if isinstance(opt, SGDState) and not os.path.isdir(
+        os.path.join(root, "momentum")
+    ) and os.path.isdir(os.path.join(root, "means")):
+        raise ValueError(
+            f"dump {root} was written by an Adam run (means/ present, "
+            "momentum/ absent) but the configured optimizer is sgd; rerun "
+            "with --optimizer adam"
+        )
     if isinstance(opt, GuardedAdamState):
         opt = GuardedAdamState(
             means=read(os.path.join(root, "means"), opt.means),

@@ -136,9 +136,16 @@ def train_step(state: TrainState, batch, cfg: TrainConfig):
     )(state.params, batch, state.bn_state, cfg)
 
     new_params, new_opt, lr = _apply_optimizer(grads, state, cfg)
-    new_bn = _merge_running_stats(
-        state.bn_state, aux["bn_stats"], cfg.model.bn_momentum
-    )
+    # Only batch-stats BN produces real statistics worth merging:
+    # 'frozen' returns the running stats themselves and 'off' returns
+    # (0, 1) placeholders — EMA-merging either would silently corrupt the
+    # stored running statistics of a checkpointed diagnostic run.
+    if cfg.execution.bn_mode == "batch":
+        new_bn = _merge_running_stats(
+            state.bn_state, aux["bn_stats"], cfg.model.bn_momentum
+        )
+    else:
+        new_bn = state.bn_state
     batch_n = batch["labels"].shape[0]
     metrics = {
         "loss": loss_sum / batch_n,  # reported mean, resnet.cu:3360-3380

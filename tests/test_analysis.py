@@ -99,6 +99,13 @@ def test_crosscheck_gradient_values(dumped):
             fc_grad=-np.asarray(gw), pool_grad=np.asarray(gpool),
         )
 
+    # absent dumped gradients are reported as skipped, never as ok — the
+    # value comparison is the only gradient path
+    errs_nograd = crosscheck_dump(d, np.asarray(w), labels)
+    assert "fc_grad" not in errs_nograd
+    assert errs_nograd["fc_grad_skipped"] == 1.0
+    assert errs_nograd["avgpool_grad_skipped"] == 1.0
+
 
 def test_ranges_and_divergence(dumped, tmp_path):
     d, *_ = dumped

@@ -286,3 +286,41 @@ def test_execution_config_validates_axes():
         ExecutionConfig(kernels="palas")
     with pytest.raises(ValueError, match="bn_mode"):
         ExecutionConfig(bn_mode="running")
+
+
+def test_1x1_stride2_dot_path_matches_lax_conv(rng):
+    """The strided-1x1 subsample+dot route (standard-topology projection
+    shortcuts) must equal lax.conv with reference geometry — values and
+    input gradients, both layouts."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from resnet_tpu.ops.conv import conv2d
+    from resnet_tpu.ops.padding import reference_padding
+
+    for layout in ("NHWC", "NCHW"):
+        h, ci, co = 8, 8, 16
+        shape = (2, h, h, ci) if layout == "NHWC" else (2, ci, h, h)
+        x = jnp.asarray(rng.normal(0, 1, shape).astype(np.float32))
+        w = jnp.asarray(rng.normal(0, 0.1, (1, 1, ci, co)).astype(np.float32))
+        pad = (reference_padding(h, 1, 2), reference_padding(h, 1, 2))
+        dn = (layout, "HWIO", layout)
+
+        def ours(x_):
+            return conv2d(x_, w, stride=2, layout=layout, precision="highest")
+
+        def ref(x_):
+            return lax.conv_general_dilated(
+                x_, w, (2, 2), pad, dimension_numbers=dn,
+                precision=lax.Precision.HIGHEST,
+            )
+
+        np.testing.assert_allclose(
+            np.asarray(ours(x)), np.asarray(ref(x)), rtol=1e-6, atol=1e-6
+        )
+        g1 = jax.grad(lambda x_: ours(x_).sum())(x)
+        g2 = jax.grad(lambda x_: ref(x_).sum())(x)
+        np.testing.assert_allclose(
+            np.asarray(g1), np.asarray(g2), rtol=1e-6, atol=1e-6
+        )
