@@ -125,7 +125,7 @@ class ModelConfig:
 class ExecutionConfig:
     """How the model executes on the chip — the reference's 'variant' axis."""
 
-    kernels: str = "xla"  # 'xla' | 'pallas' | 'fused' | 'hybrid' | 'fusedxla'
+    kernels: str = "xla"  # 'xla'|'pallas'|'fused'|'hybrid'|'fusedxla'|'blockfused'
     # Convolution engine, independent axis: XLA's conv is heavily autotuned
     # (the cudnnFind* role); the Pallas implicit-GEMM conv is selectable
     # for experimentation/parity (~ the reference keeping both hand-rolled
@@ -196,7 +196,8 @@ class ExecutionConfig:
         # fused family) — fail loudly instead
         _check = {
             "kernels": (self.kernels,
-                        ("xla", "pallas", "fused", "hybrid", "fusedxla")),
+                        ("xla", "pallas", "fused", "hybrid", "fusedxla",
+                         "blockfused")),
             "conv_kernels": (self.conv_kernels, ("xla", "pallas")),
             "layout": (self.layout, ("NHWC", "NCHW")),
             "compute_dtype": (self.compute_dtype, ("float32", "bfloat16")),
@@ -224,7 +225,7 @@ class ExecutionConfig:
         if jax.default_backend() != "tpu":
             return {}
         limit = self.scoped_vmem_limit_kib
-        if limit is None and self.kernels in ("fused", "hybrid"):
+        if limit is None and self.kernels in ("fused", "hybrid", "blockfused"):
             limit = 32768
         if not limit:
             return {}

@@ -119,6 +119,43 @@ def _bottleneck_block(
     layout = ecfg.layout
     eps = mcfg.bn_eps
     engine = ecfg.kernels
+    if (
+        engine == "blockfused"
+        and stride == 1
+        and "proj" not in block_params
+        and layout == "NHWC"
+        and train
+        and tape is None
+        and ecfg.bn_mode == "batch"
+        and not ecfg.bn_stats_batch
+        and mcfg.groups == 1
+    ):
+        # whole-block fused kernel: one pallas_call for the identity-
+        # shortcut stride-1 bottleneck (12 of 16 blocks); projection /
+        # stride-2 blocks and every other configuration fall through to
+        # the standard per-op path below
+        from ..kernels.block_fused import block_fused, bn_stats_from_sums
+
+        w1 = block_params["reduce"]["w"]
+        w2 = block_params["spatial"]["w"]
+        w3 = block_params["expand"]["w"]
+        out, sums_r, sums_s, sums_e = block_fused(
+            x.astype(ecfg.cdtype),
+            w1.reshape(w1.shape[-2], w1.shape[-1]),
+            w2,
+            w3.reshape(w3.shape[-2], w3.shape[-1]),
+            block_params["bn_reduce"]["gamma"], block_params["bn_reduce"]["beta"],
+            block_params["bn_spatial"]["gamma"], block_params["bn_spatial"]["beta"],
+            block_params["bn_expand"]["gamma"], block_params["bn_expand"]["beta"],
+            eps, ecfg.relu_cap, ecfg.matmul_precision,
+            ecfg.resolve_interpret(),
+        )
+        m = x.shape[0] * x.shape[1] * x.shape[2]
+        return out, {
+            "bn_reduce": bn_stats_from_sums(sums_r, m),
+            "bn_spatial": bn_stats_from_sums(sums_s, m),
+            "bn_expand": bn_stats_from_sums(sums_e, m),
+        }
     interp = ecfg.resolve_interpret() if engine == "pallas" else False
     stats: Dict[str, Any] = {}
 
