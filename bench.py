@@ -37,9 +37,14 @@ def main():
                          " numbers and the 3000 baseline describe);"
                          " 'reference' = the reference's 3x3/s2 projection"
                          " quirk (resnet.cu:770-797), ~2.3x the FLOPs")
-    ap.add_argument("--space-to-depth", action="store_true",
+    ap.add_argument("--space-to-depth", dest="space_to_depth",
+                    action="store_true", default=True,
                     help="MLPerf stem trick: 7x7/s2 on 224x224x3 becomes"
-                         " 4x4/s1 on 112x112x12")
+                         " 4x4/s1 on 112x112x12 — same math (exact conv"
+                         " equivalence, parity-tested), better MXU lane"
+                         " use; measured +1%% (2586 -> 2613). Default ON.")
+    ap.add_argument("--no-space-to-depth", dest="space_to_depth",
+                    action="store_false")
     ap.add_argument("--bn-mode", default="batch",
                     choices=["batch", "frozen", "off"],
                     help="'frozen'/'off' are perf-attribution ablations")
@@ -203,6 +208,7 @@ def run_bench(args, projections: str) -> dict:
         "engine": args.kernels,
         "step_ms": round(dt_per_step * 1000, 2),
         "scan": args.scan,
+        "space_to_depth": args.space_to_depth,
         "platform": platform,
     }
 

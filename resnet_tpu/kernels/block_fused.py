@@ -63,13 +63,14 @@ def _block_kernel(
     out_hbm, r_hbm, s_hbm, e_hbm,
     sums_r_ref, sums_s_ref, sums_e_ref,
     ubuf_ref,
-    *, nb, grid_n, h, w, w8, c, c4, m, eps, cap, dtype,
+    *, nbs, h, w, w8, c, c4, m, eps, cap, dtype,
 ):
     """Tensors cross HBM as 2-D (rows, channels) slabs — row blocks of
     nb*h*w are 8-sublane aligned by construction — except r, which the 3x3
     stage needs 4-D: it is stored (n, h, w8, c) with w padded up to the
     sublane tile so its DMA blocks have aligned extents."""
-    mrows = nb * h * w
+    nb0, nb1, nb2, nb3 = nbs
+    n = x_hbm.shape[0] // (h * w)
 
     sums_r_ref[:] = jnp.zeros_like(sums_r_ref)
     sums_s_ref[:] = jnp.zeros_like(sums_s_ref)
@@ -88,31 +89,32 @@ def _block_kernel(
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        r_blk[:, :, :w, :] = y.reshape(nb, h, w, c).astype(dtype)
+        r_blk[:, :, :w, :] = y.reshape(nb0, h, w, c).astype(dtype)
         if w8 > w:
-            r_blk[:, :, w:, :] = jnp.zeros((nb, h, w8 - w, c), dtype)
+            r_blk[:, :, w:, :] = jnp.zeros((nb0, h, w8 - w, c), dtype)
         sums_r_ref[0, :] += jnp.sum(y, axis=0)
         sums_r_ref[1, :] += jnp.sum(y * y, axis=0)
 
     pltpu.emit_pipeline(
         s0_body,
-        grid=(grid_n,),
-        in_specs=[pl.BlockSpec((mrows, c4), rows)],
-        out_specs=[pl.BlockSpec((nb, h, w8, c), tile4)],
+        grid=(n // nb0,),
+        in_specs=[pl.BlockSpec((nb0 * h * w, c4), rows)],
+        out_specs=[pl.BlockSpec((nb0, h, w8, c), tile4)],
     )(x_hbm, r_hbm)
 
     # ---- stage 1: bn_r affine+relu prologue, 3x3 conv, stats epilogue
     def s1_body(r_blk, s_blk):
         sc, sh = _affine_from_sums(sums_r_ref, g1_ref, b1_ref, m, eps)
+        mrows1 = nb1 * h * w
         u = _clip_relu(
             r_blk[:, :, :w, :].astype(jnp.float32) * sc + sh, cap
         )
         ubuf_ref[:, 1 : h + 1, 1 : w + 1, :] = u.astype(dtype)
-        acc = jnp.zeros((mrows, c), jnp.float32)
+        acc = jnp.zeros((mrows1, c), jnp.float32)
         for i in range(3):
             for j in range(3):
                 acc += lax.dot_general(
-                    ubuf_ref[:, i : i + h, j : j + w, :].reshape(mrows, c),
+                    ubuf_ref[:, i : i + h, j : j + w, :].reshape(mrows1, c),
                     w2_ref[i, j],
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
@@ -123,9 +125,9 @@ def _block_kernel(
 
     pltpu.emit_pipeline(
         s1_body,
-        grid=(grid_n,),
-        in_specs=[pl.BlockSpec((nb, h, w8, c), tile4)],
-        out_specs=[pl.BlockSpec((mrows, c), rows)],
+        grid=(n // nb1,),
+        in_specs=[pl.BlockSpec((nb1, h, w8, c), tile4)],
+        out_specs=[pl.BlockSpec((nb1 * h * w, c), rows)],
     )(r_hbm, s_hbm)
 
     # ---- stage 2: bn_s prologue, 1x1 expand, stats epilogue
@@ -143,9 +145,9 @@ def _block_kernel(
 
     pltpu.emit_pipeline(
         s2_body,
-        grid=(grid_n,),
-        in_specs=[pl.BlockSpec((mrows, c), rows)],
-        out_specs=[pl.BlockSpec((mrows, c4), rows)],
+        grid=(n // nb2,),
+        in_specs=[pl.BlockSpec((nb2 * h * w, c), rows)],
+        out_specs=[pl.BlockSpec((nb2 * h * w, c4), rows)],
     )(s_hbm, e_hbm)
 
     # ---- stage 3: bn_e affine + residual join + clipped relu
@@ -159,40 +161,36 @@ def _block_kernel(
 
     pltpu.emit_pipeline(
         s3_body,
-        grid=(grid_n,),
+        grid=(n // nb3,),
         in_specs=[
-            pl.BlockSpec((mrows, c4), rows),
-            pl.BlockSpec((mrows, c4), rows),
+            pl.BlockSpec((nb3 * h * w, c4), rows),
+            pl.BlockSpec((nb3 * h * w, c4), rows),
         ],
-        out_specs=[pl.BlockSpec((mrows, c4), rows)],
+        out_specs=[pl.BlockSpec((nb3 * h * w, c4), rows)],
     )(e_hbm, x_hbm, out_hbm)
 
 
-def _pick_nb(n, h, w, c, c4, itemsize):
-    """Images per pipeline step: 8-sublane-aligned row blocks (nb*h*w % 8
-    == 0), MXU-sized, bounded so the worst stage's double-buffered working
-    set stays well inside VMEM."""
-    def aligned(v):
-        return (v * h * w) % 8 == 0
+def _pick_nb(n, h, w, per_img_bytes, budget=14 * 1024 * 1024):
+    """Images per pipeline step for ONE stage: the largest divisor of n
+    with 8-sublane-aligned row blocks (nb*h*w % 8 == 0) whose double-
+    buffered working set fits the budget. Bigger tiles amortize per-grid-
+    step pipeline overhead (measured: tiny 1-image steps cost ~2us each,
+    ~16ms/step at 8k steps)."""
+    def ok(v):
+        return n % v == 0 and (v * h * w) % 8 == 0
 
-    nb = max(1, min(n, 4096 // (h * w)))
-    while n % nb or not aligned(nb):
-        nb -= 1
-        if nb == 0:
-            raise ValueError(
-                f"no batch tiling with (nb*{h}*{w}) % 8 == 0 divides n={n}"
-            )
-    # stage-3 working set dominates: 3 row slabs of (nb*h*w, c4), double-
-    # buffered
-    budget = 8 * 1024 * 1024
-    while nb > 1 and 6 * nb * h * w * c4 * itemsize > budget:
-        nxt = nb // 2
-        while nxt > 0 and (n % nxt or not aligned(nxt)):
-            nxt -= 1
-        if nxt == 0:
-            break
-        nb = nxt
-    return nb
+    best = 0
+    for nb in range(1, n + 1):
+        if ok(nb) and nb * per_img_bytes <= budget:
+            best = nb
+    if best == 0:
+        for nb in range(1, n + 1):
+            if ok(nb):
+                return nb  # smallest aligned tiling, budget be damned
+        raise ValueError(
+            f"no batch tiling with (nb*{h}*{w}) % 8 == 0 divides n={n}"
+        )
+    return best
 
 
 def _block_fused_fwd_jnp(x, w1, w2, w3, g1, b1, g2, b2, g3, b3,
@@ -255,15 +253,26 @@ def _block_fused_fwd_raw(x, w1, w2, w3, g1, b1, g2, b2, g3, b3,
         )
     n, h, w_, c4 = x.shape
     c = w1.shape[-1]
+    assert c % 128 == 0, (
+        "compiled path needs the interior width pre-padded to the 128-lane"
+        " tile (use _pad_interior)"
+    )
     m = float(n * h * w_)
-    nb = _pick_nb(n, h, w_, c, c4, x.dtype.itemsize)
     w8 = ((w_ + 7) // 8) * 8  # r's storage W, sublane-tile aligned
     mtot = n * h * w_
+    it = x.dtype.itemsize
+    hw = h * w_
+    # per-stage double-buffered working set per image (bytes)
+    nb0 = _pick_nb(n, h, w_, 2 * (hw * c4 + h * w8 * c) * it)
+    nb1 = _pick_nb(n, h, w_, (2 * (h * w8 * c + hw * c)
+                              + (h + 2) * (((w_ + 2 + 7) // 8) * 8) * c) * it)
+    nb2 = _pick_nb(n, h, w_, 2 * (hw * c + hw * c4) * it)
+    nb3 = _pick_nb(n, h, w_, 6 * hw * c4 * it)
     row = lambda v: jnp.asarray(v, jnp.float32).reshape(1, -1)
 
     kernel = functools.partial(
-        _block_kernel, nb=nb, grid_n=n // nb, h=h, w=w_, w8=w8, c=c, c4=c4,
-        m=m, eps=eps, cap=cap, dtype=x.dtype,
+        _block_kernel, nbs=(nb0, nb1, nb2, nb3), h=h, w=w_, w8=w8, c=c,
+        c4=c4, m=m, eps=eps, cap=cap, dtype=x.dtype,
     )
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     anys = lambda: pl.BlockSpec(memory_space=pltpu.ANY)
@@ -284,7 +293,7 @@ def _block_fused_fwd_raw(x, w1, w2, w3, g1, b1, g2, b2, g3, b3,
             jax.ShapeDtypeStruct((2, c4), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((nb, h + 2, ((w_ + 2 + 7) // 8) * 8, c), x.dtype)
+            pltpu.VMEM((nb1, h + 2, ((w_ + 2 + 7) // 8) * 8, c), x.dtype)
         ],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
@@ -324,15 +333,18 @@ def _bn_bwd(da, y, gamma, sums, m, eps, dsums):
     inv = lax.rsqrt(var + jnp.float32(eps))
     yf = y.astype(jnp.float32)
     yhat = (yf - mean) * inv
-    dgamma = jnp.sum(da * yhat, axis=(0, 1, 2))
-    dbeta = jnp.sum(da, axis=(0, 1, 2))
+    daf = da.astype(jnp.float32)
+    dgamma = jnp.sum(daf * yhat, axis=(0, 1, 2))
+    dbeta = jnp.sum(daf, axis=(0, 1, 2))
     sc = gamma.astype(jnp.float32) * inv
-    dy = sc * (da - (dbeta + yhat * dgamma) / m)
+    dy = sc * (daf - (dbeta + yhat * dgamma) / m)
     if dsums is not None:
         dy = dy + dsums[0].astype(jnp.float32) + 2.0 * yf * dsums[1].astype(
             jnp.float32
         )
-    return dy, dgamma, dbeta
+    # cotangents materialize in the forward dtype (autodiff's convention —
+    # fp32 intermediates here measured +2x backward HBM traffic)
+    return dy.astype(y.dtype), dgamma, dbeta
 
 
 def _affine(sums, gamma, beta, m, eps):
@@ -341,6 +353,30 @@ def _affine(sums, gamma, beta, m, eps):
     sc = gamma.astype(jnp.float32) * inv
     sh = beta.astype(jnp.float32) - sc * mean
     return sc, sh
+
+
+def _pad_interior(w1, w2, w3, g1, b1, g2, b2):
+    """Zero-pad the block's interior width C up to the 128-lane tile
+    (stage-0 blocks have C=64; Mosaic pipeline DMA needs 128-aligned lane
+    extents). Zero weights + zero gamma/beta keep the padded channels
+    EXACTLY zero through every stage — forward values are untouched and
+    padded parameter gradients are analytically zero (sliced off at the
+    end); the padded activations stay in the backward residuals so no
+    full-batch slice copy is ever paid."""
+    c = w1.shape[-1]
+    cp = ((c + 127) // 128) * 128
+    if cp == c:
+        return (w1, w2, w3, g1, b1, g2, b2), c
+    pc = cp - c
+    return (
+        jnp.pad(w1, ((0, 0), (0, pc))),
+        jnp.pad(w2, ((0, 0), (0, 0), (0, pc), (0, pc))),
+        jnp.pad(w3, ((0, pc), (0, 0))),
+        jnp.pad(jnp.asarray(g1, jnp.float32), (0, pc)),
+        jnp.pad(jnp.asarray(b1, jnp.float32), (0, pc)),
+        jnp.pad(jnp.asarray(g2, jnp.float32), (0, pc)),
+        jnp.pad(jnp.asarray(b2, jnp.float32), (0, pc)),
+    ), c
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13))
@@ -353,30 +389,42 @@ def block_fused(x, w1, w2, w3, g1, b1, g2, b2, g3, b3,
     (out, sums_r, sums_s, sums_e) where sums = [Σy, Σy²] per channel (fp32)
     of each raw conv output — the Cache_BatchNorm role (resnet.h:90-97).
     """
+    (w1p, w2p, w3p, g1p, b1p, g2p, b2p), c_real = _pad_interior(
+        w1, w2, w3, g1, b1, g2, b2
+    )
     out, _r, _s, _e, sums_r, sums_s, sums_e = _block_fused_fwd_raw(
-        x, w1, w2, w3, g1, b1, g2, b2, g3, b3,
+        x, w1p, w2p, w3p, g1p, b1p, g2p, b2p, g3, b3,
         eps=eps, cap=cap, interpret=interpret,
     )
-    return out, sums_r, sums_s, sums_e
+    return out, sums_r[:, :c_real], sums_s[:, :c_real], sums_e
 
 
 def _block_fused_vjp_fwd(x, w1, w2, w3, g1, b1, g2, b2, g3, b3,
                          eps, cap, precision, interpret):
+    (w1p, w2p, w3p, g1p, b1p, g2p, b2p), c_real = _pad_interior(
+        w1, w2, w3, g1, b1, g2, b2
+    )
     out, r, s, e, sums_r, sums_s, sums_e = _block_fused_fwd_raw(
-        x, w1, w2, w3, g1, b1, g2, b2, g3, b3,
+        x, w1p, w2p, w3p, g1p, b1p, g2p, b2p, g3, b3,
         eps=eps, cap=cap, interpret=interpret,
     )
     res = (x, r, s, e, out, sums_r, sums_s, sums_e,
-           w1, w2, w3, g1, b1, g2, b2, g3, b3)
-    return (out, sums_r, sums_s, sums_e), res
+           w1p, w2p, w3p, g1p, b1p, g2p, b2p, g3, b3, c_real)
+    return (out, sums_r[:, :c_real], sums_s[:, :c_real], sums_e), res
 
 
 def _block_fused_vjp_bwd(eps, cap, precision, interpret, res, cts):
     from ..ops.conv import _PRECISION
 
     (x, r, s, e, out, sums_r, sums_s, sums_e,
-     w1, w2, w3, g1, b1, g2, b2, g3, b3) = res
+     w1, w2, w3, g1, b1, g2, b2, g3, b3, c_real) = res
     dout, dsr_ct, dss_ct, dse_ct = cts
+    cpad = w1.shape[-1] - c_real
+    if cpad:
+        # sums cotangents arrive at the real width; the padded-channel
+        # contribution is zero by construction
+        dsr_ct = jnp.pad(dsr_ct, ((0, 0), (0, cpad)))
+        dss_ct = jnp.pad(dss_ct, ((0, 0), (0, cpad)))
     prec = _PRECISION[precision]
     n, h, w_, c4 = x.shape
     c = w1.shape[-1]
@@ -399,7 +447,7 @@ def _block_fused_vjp_bwd(eps, cap, precision, interpret, res, cts):
     # ---- join: out = clip(relu(bn_e(e) + x))
     outf = out.astype(jnp.float32)
     gate = (outf > 0) if cap is None else (outf > 0) & (outf < cap)
-    g = dout.astype(jnp.float32) * gate
+    g = (dout.astype(jnp.float32) * gate).astype(dt)
     de, dg3, db3 = _bn_bwd(g, e, g3, sums_e, m, eps, dse_ct)
     # identity-shortcut branch of dx (the reference's toAdd accumulation,
     # resnet_cudnn.cu:1531-1536)
@@ -410,10 +458,9 @@ def _block_fused_vjp_bwd(eps, cap, precision, interpret, res, cts):
     v_pre = s.astype(jnp.float32) * sc2 + sh2
     gate_v = (v_pre > 0) if cap is None else (v_pre > 0) & (v_pre < cap)
     v = _clip_relu(v_pre, cap).astype(dt)
-    de16 = de.astype(dt)
-    dw3 = dot_tn(v.reshape(-1, c), de16.reshape(-1, c4)).astype(w3.dtype)
-    dv = dot(de16.reshape(-1, c4), w3.astype(dt).T).reshape(n, h, w_, c)
-    da2 = dv * gate_v
+    dw3 = dot_tn(v.reshape(-1, c), de.reshape(-1, c4)).astype(w3.dtype)
+    dv = dot(de.reshape(-1, c4), w3.astype(dt).T).reshape(n, h, w_, c)
+    da2 = (dv * gate_v).astype(dt)
     ds, dg2, db2 = _bn_bwd(da2, s, g2, sums_s, m, eps, dss_ct)
 
     # ---- spatial 3x3: s = conv(u, W2), u = clip(relu(bn_r(r)))
@@ -431,21 +478,26 @@ def _block_fused_vjp_bwd(eps, cap, precision, interpret, res, cts):
 
     w2_hwio = w2.astype(dt)
     _, conv_vjp = jax.vjp(conv3, u, w2_hwio)
-    du, dw2 = conv_vjp(ds.astype(dt))
+    du, dw2 = conv_vjp(ds)
     dw2 = dw2.astype(w2.dtype)
-    da1 = du.astype(jnp.float32) * gate_u
+    da1 = (du.astype(jnp.float32) * gate_u).astype(dt)
     dr, dg1, db1 = _bn_bwd(da1, r, g1, sums_r, m, eps, dsr_ct)
 
     # ---- reduce 1x1: r = x @ W1
-    dr16 = dr.astype(dt)
-    dw1 = dot_tn(x.reshape(-1, c4), dr16.reshape(-1, c)).astype(w1.dtype)
-    dx_conv = dot(dr16.reshape(-1, c), w1.astype(dt).T).reshape(n, h, w_, c4)
-    dx = (dx_res + dx_conv).astype(x.dtype)
+    dw1 = dot_tn(x.reshape(-1, c4), dr.reshape(-1, c)).astype(w1.dtype)
+    dx_conv = dot(dr.reshape(-1, c), w1.astype(dt).T).reshape(n, h, w_, c4)
+    dx = (dx_res.astype(jnp.float32) + dx_conv).astype(x.dtype)
 
+    if cpad:
+        dw1 = dw1[:, :c_real]
+        dw2 = dw2[:, :, :c_real, :c_real]
+        dw3 = dw3[:c_real, :]
+        dg1, db1 = dg1[:c_real], db1[:c_real]
+        dg2, db2 = dg2[:c_real], db2[:c_real]
     return (
         dx, dw1, dw2, dw3,
-        dg1.astype(g1.dtype), db1.astype(b1.dtype),
-        dg2.astype(g2.dtype), db2.astype(b2.dtype),
+        dg1.astype(jnp.float32), db1.astype(jnp.float32),
+        dg2.astype(jnp.float32), db2.astype(jnp.float32),
         dg3.astype(g3.dtype), db3.astype(b3.dtype),
     )
 

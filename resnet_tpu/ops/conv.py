@@ -36,11 +36,14 @@ _PRECISION = {
     "highest": lax.Precision.HIGHEST,
 }
 
-# A/B gate for the strided-1x1 subsample+dot route (perf attribution;
-# semantics identical either way — tests cover both against lax conv)
+# Strided-1x1 subsample+dot route: measured SLOWER than XLA's strided
+# conv lowering in-step (2490 vs 2586 img/s at b256 bf16 on v5e — the
+# subsample slice plus its interior-pad transpose in backward cost more
+# than the conv path saves), so OFF by default; kept env-gated with a
+# parity test as a documented negative result.
 import os as _os
 
-_S2_DOT = _os.environ.get("RESNET_TPU_1X1S2_DOT", "1") == "1"
+_S2_DOT = _os.environ.get("RESNET_TPU_1X1S2_DOT", "0") == "1"
 
 
 def spatial_dims(layout: str) -> Tuple[int, int]:
