@@ -88,6 +88,7 @@ def _block_kernel(
             x_blk[:], w1_ref[:],
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=lax.Precision.DEFAULT,
         )
         r_blk[:, :, :w, :] = y.reshape(nb0, h, w, c).astype(dtype)
         if w8 > w:
@@ -118,6 +119,7 @@ def _block_kernel(
                     w2_ref[i, j],
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
+                    precision=lax.Precision.DEFAULT,
                 )
         s_blk[:] = acc.astype(dtype)
         sums_s_ref[0, :] += jnp.sum(acc, axis=0)
@@ -138,6 +140,7 @@ def _block_kernel(
             v.astype(dtype), w3_ref[:],
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=lax.Precision.DEFAULT,
         )
         e_blk[:] = y.astype(dtype)
         sums_e_ref[0, :] += jnp.sum(y, axis=0)
@@ -170,12 +173,15 @@ def _block_kernel(
     )(e_hbm, x_hbm, out_hbm)
 
 
-def _pick_nb(n, h, w, per_img_bytes, budget=14 * 1024 * 1024):
+def _pick_nb(n, h, w, per_img_bytes, budget=5 * 1024 * 1024):
     """Images per pipeline step for ONE stage: the largest divisor of n
     with 8-sublane-aligned row blocks (nb*h*w % 8 == 0) whose double-
-    buffered working set fits the budget. Bigger tiles amortize per-grid-
-    step pipeline overhead (measured: tiny 1-image steps cost ~2us each,
-    ~16ms/step at 8k steps)."""
+    buffered working set fits the budget. The budget leaves headroom for
+    weights, the conv scratch, accumulators, and Mosaic's ~1.35x stack
+    factor inside the DEFAULT 16MB scoped-VMEM limit (a 14MB budget
+    measured identical step time but OOM'd without the engine's raised
+    scoped-vmem compiler option — tile size beyond ~4 images/step buys
+    nothing: the pipeline is DMA-bound, not step-overhead-bound)."""
     def ok(v):
         return n % v == 0 and (v * h * w) % 8 == 0
 
@@ -215,6 +221,7 @@ def _block_fused_fwd_jnp(x, w1, w2, w3, g1, b1, g2, b2, g3, b3,
     r_f = lax.dot_general(
         x.reshape(-1, c4).astype(dt), w1.astype(dt),
         (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=lax.Precision.DEFAULT,
     ).reshape(n, h, w_, c)
     sums_r = sums_of(r_f)
     r = r_f.astype(dt)
@@ -225,6 +232,7 @@ def _block_fused_fwd_jnp(x, w1, w2, w3, g1, b1, g2, b2, g3, b3,
         u, w2.astype(dt), (1, 1), ((1, 1), (1, 1)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.float32,
+        precision=lax.Precision.DEFAULT,
     )
     sums_s = sums_of(s_f)
     s = s_f.astype(dt)
@@ -234,6 +242,7 @@ def _block_fused_fwd_jnp(x, w1, w2, w3, g1, b1, g2, b2, g3, b3,
     e_f = lax.dot_general(
         v.reshape(-1, c), w3.astype(dt),
         (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=lax.Precision.DEFAULT,
     ).reshape(n, h, w_, c4)
     sums_e = sums_of(e_f)
     e = e_f.astype(dt)

@@ -67,6 +67,9 @@ def main():
     ap.add_argument("--noise-pct", type=float, default=1.0,
                     help="win threshold vs control, percent")
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--limit", type=int, default=0,
+                    help="measure only the first N sites (0 = all 22;"
+                         " each site is a full fwd+bwd recompile)")
     ap.add_argument("--out", default="")
     args = ap.parse_args()
 
@@ -111,7 +114,10 @@ def main():
 
     rows = []
     winners = []
-    for key in conv_site_keys(mcfg):
+    keys = conv_site_keys(mcfg)
+    if args.limit:
+        keys = keys[: args.limit]
+    for key in keys:
         fused_resnet._FUSED_WINS = {key}
         try:
             t = measure()
