@@ -179,6 +179,15 @@ class ExecutionConfig:
     # reduce-over-slice forward off its fast reduction emitter — measured
     # 1488 img/s vs 2596 full-batch at b256 (docs/perf_ceiling_r2.md).
     bn_stats_batch: int = 0
+    # Maxpool backward realization (ops/pooling.py):
+    #   'select_scatter' autodiff of reduce_window (XLA SelectAndScatter)
+    #   'mask'           custom VJP reconstructing the reference's argmax
+    #                    scatter (first tie wins) as out-grid
+    #                    compare/accumulate passes
+    # Measured on v5e (tools/bench_maxpool_bwd): select_scatter 1.62ms at
+    # the stem shape = its DMA roofline; 'mask' is 16x slower (strided
+    # slices relayout). Keep the default.
+    maxpool_vjp: str = "select_scatter"
     # Run Pallas kernels in interpreter mode (CPU testing); None = auto
     # (interpret unless running on real TPU).
     pallas_interpret: Optional[bool] = None
@@ -205,6 +214,7 @@ class ExecutionConfig:
             "bn_mode": (self.bn_mode, ("batch", "frozen", "off")),
             "matmul_precision": (self.matmul_precision,
                                  ("default", "high", "highest")),
+            "maxpool_vjp": (self.maxpool_vjp, ("select_scatter", "mask")),
         }
         for field, (value, allowed) in _check.items():
             if value not in allowed:

@@ -157,7 +157,7 @@ def fused_forward(
     else:
         act0 = bias_act(y0, sc0, sh0, True, interp, cap)
     out = max_pool(act0, kernel=mcfg.maxpool_kernel, stride=mcfg.maxpool_stride,
-                   layout="NHWC")
+                   layout="NHWC", vjp=ecfg.maxpool_vjp)
 
     block_stats = []
     for i, bp in enumerate(params["blocks"]):

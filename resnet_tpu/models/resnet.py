@@ -313,7 +313,8 @@ def forward(
     )
     if tape is not None:
         tape["init_conv_activated"] = out
-    out = max_pool(out, kernel=mcfg.maxpool_kernel, stride=mcfg.maxpool_stride, layout=layout)
+    out = max_pool(out, kernel=mcfg.maxpool_kernel, stride=mcfg.maxpool_stride,
+                   layout=layout, vjp=ecfg.maxpool_vjp)
     if tape is not None:
         tape["init_convblock_input"] = out
 

@@ -135,6 +135,48 @@ def test_max_pool_grad_scatters_to_argmax(rng):
     assert ((g == 0) | (g >= 1)).all()
 
 
+def test_max_pool_mask_vjp_matches_select_scatter(rng):
+    # ops/pooling.py 'mask' VJP (fusible reconstruction of maxPoolDeriv,
+    # resnet.cu:476-497) must produce the exact SelectAndScatter gradient.
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 4), dtype=np.float32))
+    dy_seed = jnp.asarray(rng.standard_normal((2, 4, 4, 4), dtype=np.float32))
+
+    def grad_of(mode):
+        f = lambda t: jnp.sum(max_pool(t, kernel=3, stride=2, vjp=mode) * dy_seed)
+        return np.asarray(jax.grad(f)(x))
+
+    # tight-eps, not bitwise: cells covered by several windows accumulate
+    # their contributions in a different order in the two realizations
+    np.testing.assert_allclose(
+        grad_of("select_scatter"), grad_of("mask"), rtol=1e-6, atol=1e-6
+    )
+
+
+def test_max_pool_mask_vjp_tie_breaking_first_win():
+    # All-equal input: every window cell ties. Both backends must send each
+    # window's whole gradient to the FIRST max in scan order (the
+    # reference's strict '>' keeps the first hit, resnet.cu:461).
+    x = jnp.ones((1, 6, 6, 2), dtype=jnp.float32)
+    g_ss = jax.grad(lambda t: jnp.sum(max_pool(t, vjp="select_scatter")))(x)
+    g_mk = jax.grad(lambda t: jnp.sum(max_pool(t, vjp="mask")))(x)
+    np.testing.assert_array_equal(np.asarray(g_ss), np.asarray(g_mk))
+    # conservation: one unit of grad per window per channel (9 windows x 2
+    # channels), nothing duplicated to ties
+    assert float(jnp.sum(g_mk)) == pytest.approx(18.0)
+
+
+def test_max_pool_mask_vjp_nchw(rng):
+    x = jnp.asarray(rng.standard_normal((2, 4, 8, 8), dtype=np.float32))
+    for mode in ("select_scatter", "mask"):
+        y = max_pool(x, kernel=3, stride=2, layout="NCHW", vjp=mode)
+        assert y.shape == (2, 4, 4, 4)
+    g_ss = jax.grad(lambda t: jnp.sum(
+        max_pool(t, layout="NCHW", vjp="select_scatter") ** 2))(x)
+    g_mk = jax.grad(lambda t: jnp.sum(
+        max_pool(t, layout="NCHW", vjp="mask") ** 2))(x)
+    np.testing.assert_array_equal(np.asarray(g_ss), np.asarray(g_mk))
+
+
 def test_global_avg_pool(rng):
     x = rng.standard_normal((3, 7, 7, 5), dtype=np.float32)
     got = np.asarray(global_avg_pool(jnp.asarray(x)))
