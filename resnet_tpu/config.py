@@ -321,6 +321,10 @@ class ParallelConfig:
     mode: str = "auto"  # 'auto' (pjit/NamedSharding) | 'shard_map'
 
 
+# TrainConfig.resume_from sentinel: resume from the newest complete dump
+RESUME_LATEST = -2
+
+
 @dataclass(frozen=True)
 class TrainConfig:
     model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
@@ -334,7 +338,16 @@ class TrainConfig:
     checkpoint_every: int = 1000  # dump cadence (resnet.cu:2947)
     checkpoint_dir: str = "training_dumps/my_custom"
     log_every: int = 1  # PRINT_FREQ (resnet.cu:3318)
-    resume_from: int = -1  # LOAD_FROM_DUMP_ID (resnet.cu:3299)
+    # LOAD_FROM_DUMP_ID (resnet.cu:3299); -1 = fresh start, RESUME_LATEST
+    # (-2) = resume from the newest complete dump in checkpoint_dir
+    # (train.checkpoint.discover_latest_dump)
+    resume_from: int = -1
+    # Write periodic dumps on a background thread: device state is
+    # snapshotted to host synchronously (before the next step donates the
+    # buffers), the file I/O overlaps training. The final and non-finite
+    # sentinel dumps are always synchronous. The reference stalls in
+    # dump_trainer every 1000 steps (resnet.cu:2947-2950).
+    async_checkpoint: bool = False
     # Fetch + record metrics every step (avg_loss_log.txt semantics,
     # resnet.cu:3386-3389). Each fetch is a host sync; disable on remote/
     # tunneled devices where round-trips are expensive.

@@ -26,8 +26,12 @@ the fidelity harness.
 
 from __future__ import annotations
 
+import concurrent.futures
+import copy
 import json
 import os
+import re
+import shutil
 from typing import Any, Dict, List, Optional, Tuple
 
 import jax
@@ -170,6 +174,26 @@ def load_reference_buffers(directory: str, params_template) -> Any:
     return treedef.unflatten(rebuilt)
 
 
+def discover_latest_dump(dump_dir: str) -> Optional[int]:
+    """Largest resumable dump id under dump_dir, or None.
+
+    Only complete dumps are visible (writes are atomic, see
+    save_checkpoint). The non-finite forensic sentinel (99999999,
+    resnet.cu:2903) is never resumable state and is excluded; the final
+    sentinel (77777777, resnet.cu:3424) IS included — a completed run's
+    last state wins over its periodic dumps.
+    """
+    if not os.path.isdir(dump_dir):
+        return None
+    ids = [
+        int(name)
+        for name in os.listdir(dump_dir)
+        if re.fullmatch(r"\d{8}", name) and int(name) != NAN_DUMP_ID
+        and os.path.exists(os.path.join(dump_dir, name, "trainer_checkpoint.txt"))
+    ]
+    return max(ids) if ids else None
+
+
 def save_checkpoint(
     dump_dir: str,
     dump_id: int,
@@ -179,11 +203,29 @@ def save_checkpoint(
     metadata: Optional[Dict[str, Any]] = None,
     include_grads=None,
 ):
-    """Buffer-tree checkpoint in the reference schema."""
-    root = dump_id_dir(dump_dir, dump_id)
-    os.makedirs(root, exist_ok=True)
-    state = jax.device_get(state)
+    """Buffer-tree checkpoint in the reference schema.
 
+    Atomic: everything is written into a temp sibling directory that is
+    renamed over the final path last, so a crash mid-dump never leaves a
+    partial dump where restore/discover_latest_dump would find it. (The
+    reference writes buffers in place, resnet.cu:2279-2317 — a crash
+    inside dump_trainer corrupts that dump id silently.)
+    """
+    final_root = dump_id_dir(dump_dir, dump_id)
+    root = f"{final_root}.tmp-{os.getpid()}"
+    if os.path.exists(root):
+        shutil.rmtree(root)
+    os.makedirs(root)
+    state = jax.device_get(state)
+    try:
+        _write_dump(root, final_root, state, cursor, metadata, include_grads)
+    except BaseException:
+        shutil.rmtree(root, ignore_errors=True)
+        raise
+    return final_root
+
+
+def _write_dump(root, final_root, state, cursor, metadata, include_grads):
     reg = flat_registry(state.params)
     _write_buffers(os.path.join(root, "model_params"), reg)
     with open(os.path.join(root, "registry.txt"), "w") as f:
@@ -220,7 +262,50 @@ def save_checkpoint(
 
     with open(os.path.join(root, "trainer_metadata.txt"), "w") as f:
         f.write(json.dumps(metadata or {}, indent=2, default=float))
-    return root
+
+    # publish atomically: remove any previous dump of this id, then rename
+    if os.path.exists(final_root):
+        shutil.rmtree(final_root)
+    os.replace(root, final_root)
+
+
+class AsyncCheckpointer:
+    """Non-blocking checkpoint writer.
+
+    The reference dumps synchronously inside update_parameters
+    (resnet.cu:2947-2950), stalling the training loop for the whole file
+    write. Here save() snapshots device state to host memory on the
+    calling thread — this MUST complete before the next train step, which
+    donates the state buffers — and hands the (much slower) file I/O to a
+    single worker thread. A second save() first waits for the previous
+    write, bounding memory to one in-flight host snapshot; write errors
+    surface on the next save()/wait() rather than being swallowed.
+    """
+
+    def __init__(self):
+        self._pool = concurrent.futures.ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="ckpt-writer"
+        )
+        self._pending: Optional[concurrent.futures.Future] = None
+
+    def save(self, dump_dir, dump_id, state, cursor, **kwargs) -> str:
+        self.wait()
+        host_state = jax.device_get(state)
+        cursor = copy.copy(cursor)
+        self._pending = self._pool.submit(
+            save_checkpoint, dump_dir, dump_id, host_state, cursor, **kwargs
+        )
+        return dump_id_dir(dump_dir, dump_id)
+
+    def wait(self):
+        """Block until the in-flight write (if any) lands; re-raise its errors."""
+        if self._pending is not None:
+            pending, self._pending = self._pending, None
+            pending.result()
+
+    def close(self):
+        self.wait()
+        self._pool.shutdown()
 
 
 def restore_checkpoint(

@@ -16,6 +16,7 @@ import argparse
 import os
 
 from ..config import (
+    RESUME_LATEST,
     DataConfig,
     ExecutionConfig,
     OptimizerConfig,
@@ -79,7 +80,13 @@ def build_config(argv=None) -> tuple:
     ap.add_argument("--warmup-steps", type=int, default=0)
     ap.add_argument("--checkpoint-dir", default="training_dumps/run")
     ap.add_argument("--checkpoint-every", type=int, default=1000)  # resnet.cu:2947
-    ap.add_argument("--resume-from", type=int, default=-1)  # LOAD_FROM_DUMP_ID
+    # LOAD_FROM_DUMP_ID (resnet.cu:3299); 'latest' = newest complete dump
+    ap.add_argument("--resume-from", default="-1",
+                    help="dump id to resume from, or 'latest' (-1 = fresh)")
+    ap.add_argument("--async-checkpoint", action="store_true",
+                    help="write periodic dumps on a background thread"
+                         " (snapshot synchronously, overlap the file I/O"
+                         " with training)")
     ap.add_argument("--log-every", type=int, default=1)
     ap.add_argument("--check-errors", action="store_true")
     ap.add_argument("--no-record-metrics", action="store_true",
@@ -97,6 +104,15 @@ def build_config(argv=None) -> tuple:
                     help="0 = one full pass over the shards")
     args = ap.parse_args(argv)
 
+    if args.resume_from == "latest":
+        resume_from = RESUME_LATEST
+    else:
+        try:
+            resume_from = int(args.resume_from)
+        except ValueError:
+            ap.error(f"--resume-from {args.resume_from!r}: expected a dump id or 'latest'")
+    args.resume_from = resume_from
+
     if args.variant:
         cfg = variant_config(
             args.variant,
@@ -108,6 +124,7 @@ def build_config(argv=None) -> tuple:
             log_every=args.log_every,
             resume_from=args.resume_from,
             check_errors=args.check_errors,
+            async_checkpoint=args.async_checkpoint,
         )
         import dataclasses as _dc
 
@@ -185,6 +202,7 @@ def build_config(argv=None) -> tuple:
         resume_from=args.resume_from,
         record_metrics=not args.no_record_metrics,
         check_errors=args.check_errors,
+        async_checkpoint=args.async_checkpoint,
     )
     return cfg, args
 

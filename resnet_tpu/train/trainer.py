@@ -23,7 +23,7 @@ from typing import Any, Dict, Iterator, Optional
 
 import jax
 
-from ..config import TrainConfig
+from ..config import RESUME_LATEST, TrainConfig
 from ..data import (
     ShardCursor,
     ShardDataset,
@@ -33,7 +33,14 @@ from ..data import (
 )
 from ..parallel import make_mesh, make_shard_map_train_step, replicate
 from ..utils import MetricsLogger, check_state_finite, nonfinite_report
-from .checkpoint import FINAL_DUMP_ID, NAN_DUMP_ID, restore_checkpoint, save_checkpoint
+from .checkpoint import (
+    FINAL_DUMP_ID,
+    NAN_DUMP_ID,
+    AsyncCheckpointer,
+    discover_latest_dump,
+    restore_checkpoint,
+    save_checkpoint,
+)
 from .state import init_train_state
 from .step import make_eval_step, make_train_step
 
@@ -61,11 +68,20 @@ class Trainer:
 
         self.state = init_train_state(cfg)
         self.cursor = ShardCursor()
-        if cfg.resume_from >= 0:
+        self.checkpointer = AsyncCheckpointer() if cfg.async_checkpoint else None
+        resume_from = cfg.resume_from
+        if resume_from == RESUME_LATEST:
+            resume_from = discover_latest_dump(cfg.checkpoint_dir)
+            if resume_from is None:
+                raise FileNotFoundError(
+                    f"resume_from=RESUME_LATEST but no complete dump exists "
+                    f"under {cfg.checkpoint_dir!r}"
+                )
+        if resume_from is not None and resume_from >= 0:
             self.state, self.cursor = restore_checkpoint(
-                cfg.checkpoint_dir, cfg.resume_from, self.state
+                cfg.checkpoint_dir, resume_from, self.state
             )
-            print(f"resumed from dump {cfg.resume_from} at step {int(self.state.step)}")
+            print(f"resumed from dump {resume_from} at step {int(self.state.step)}")
         if self.mesh is not None:
             self.state = replicate(self.state, self.mesh)
 
@@ -168,6 +184,11 @@ class Trainer:
             return
         ok = bool(jax.device_get(check_state_finite(self.state.params)))
         if not ok:
+            # order after any in-flight periodic write, then dump
+            # synchronously — the forensic dump must be on disk before the
+            # process dies (check_errors, resnet.cu:2879-2907)
+            if self.checkpointer is not None:
+                self.checkpointer.wait()
             save_checkpoint(
                 self.cfg.checkpoint_dir, NAN_DUMP_ID, self.state, self.cursor
             )
@@ -198,8 +219,14 @@ class Trainer:
                 and cfg.checkpoint_dir
             ):
                 # dump before the update, like update_parameters
-                # (resnet.cu:2947-2950)
-                save_checkpoint(
+                # (resnet.cu:2947-2950); async mode snapshots here and
+                # overlaps the file write with the coming steps
+                save = (
+                    self.checkpointer.save
+                    if self.checkpointer is not None
+                    else save_checkpoint
+                )
+                save(
                     cfg.checkpoint_dir, step_before, self.state, self.cursor,
                     metadata={"loss_history": self.logger.loss_history[-100:]},
                 )
@@ -259,6 +286,8 @@ class Trainer:
         if self._dev_iter is not None:
             self._dev_iter.stop()
             self._dev_iter = None
+        if self.checkpointer is not None:
+            self.checkpointer.close()  # drain pending writes (re-raises errors)
         if self.cfg.checkpoint_dir:
             save_checkpoint(
                 self.cfg.checkpoint_dir, FINAL_DUMP_ID, self.state, self.cursor
@@ -269,5 +298,12 @@ class Trainer:
         try:
             if getattr(self, "_dev_iter", None) is not None:
                 self._dev_iter.stop()
+        except Exception:
+            pass
+        try:
+            # best-effort drain; ThreadPoolExecutor threads are also joined
+            # at interpreter exit, so in-flight dumps land either way
+            if getattr(self, "checkpointer", None) is not None:
+                self.checkpointer.close()
         except Exception:
             pass

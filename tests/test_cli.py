@@ -51,6 +51,19 @@ def test_cli_trains_and_evaluates(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "eval over 2 batches" in out
 
+    # --resume-from latest + --async-checkpoint: continue the run above
+    # from its final dump (77777777), background-writing periodic dumps
+    main([
+        "--model", "tiny", "--synthetic", "--steps", "2", "--batch-size", "8",
+        "--checkpoint-dir", ckpt, "--checkpoint-every", "1", "--log-every", "0",
+        "--no-mesh", "--resume-from", "latest", "--async-checkpoint",
+    ])
+    out = capsys.readouterr().out
+    assert "resumed from dump 77777777 at step 3" in out
+
+    with pytest.raises(SystemExit):
+        build_config(["--resume-from", "not-a-dump-id"])
+
 
 def test_variant_presets():
     """The reference's six binaries map onto config presets (SURVEY.md §0)."""

@@ -385,3 +385,124 @@ def test_bf16_training_reduces_loss(rng):
     assert all(
         np.asarray(p).dtype == np.float32 for p in jax.tree.leaves(state.params)
     )
+
+
+def test_save_checkpoint_atomic_on_failure(tmp_path, monkeypatch):
+    # a dump that dies mid-write must not be visible to restore/discovery,
+    # and must not clobber the previous dump (save_checkpoint writes into a
+    # temp sibling and publishes by rename)
+    import resnet_tpu.train.checkpoint as ckpt_mod
+    from resnet_tpu.train.checkpoint import discover_latest_dump
+
+    cfg = tiny_cfg()
+    state = init_train_state(cfg)
+    cursor = ShardCursor()
+    save_checkpoint(str(tmp_path), 1000, state, cursor)
+
+    orig = ckpt_mod._write_buffers
+    calls = {"n": 0}
+
+    def failing_write(directory, registry):
+        calls["n"] += 1
+        if calls["n"] > 1:
+            raise IOError("disk full")
+        orig(directory, registry)
+
+    monkeypatch.setattr(ckpt_mod, "_write_buffers", failing_write)
+    with pytest.raises(IOError):
+        save_checkpoint(str(tmp_path), 2000, state, cursor)
+    monkeypatch.setattr(ckpt_mod, "_write_buffers", orig)
+
+    assert not (tmp_path / "00002000").exists()
+    assert not any(".tmp-" in name for name in os.listdir(tmp_path))
+    assert discover_latest_dump(str(tmp_path)) == 1000
+    restored, _ = restore_checkpoint(str(tmp_path), 1000, init_train_state(cfg))
+    assert int(restored.step) == int(state.step)
+
+
+def test_discover_latest_dump(tmp_path):
+    from resnet_tpu.train.checkpoint import (
+        FINAL_DUMP_ID,
+        NAN_DUMP_ID,
+        discover_latest_dump,
+    )
+
+    assert discover_latest_dump(str(tmp_path)) is None
+    cfg = tiny_cfg()
+    state = init_train_state(cfg)
+    cursor = ShardCursor()
+    save_checkpoint(str(tmp_path), 0, state, cursor)
+    save_checkpoint(str(tmp_path), 1000, state, cursor)
+    assert discover_latest_dump(str(tmp_path)) == 1000
+    # the non-finite forensic sentinel is never resumable state
+    save_checkpoint(str(tmp_path), NAN_DUMP_ID, state, cursor)
+    assert discover_latest_dump(str(tmp_path)) == 1000
+    # the final sentinel IS (a finished run's last state)
+    save_checkpoint(str(tmp_path), FINAL_DUMP_ID, state, cursor)
+    assert discover_latest_dump(str(tmp_path)) == FINAL_DUMP_ID
+    # incomplete dirs (no trainer_checkpoint.txt) are invisible
+    (tmp_path / "99999998").mkdir()
+    assert discover_latest_dump(str(tmp_path)) == FINAL_DUMP_ID
+
+
+def test_async_checkpointer_matches_sync(tmp_path, rng):
+    from resnet_tpu.train.checkpoint import AsyncCheckpointer
+
+    cfg = tiny_cfg()
+    state = init_train_state(cfg)
+    step = make_train_step(cfg, donate=False)
+    state, _ = step(state, make_batch(rng, cfg))
+    cursor = ShardCursor(shard=1, batch_in_shard=2, epoch=0)
+
+    save_checkpoint(str(tmp_path / "sync"), 100, state, cursor)
+    ac = AsyncCheckpointer()
+    ac.save(str(tmp_path / "async"), 100, state, cursor)
+    ac.close()
+
+    sync_root = tmp_path / "sync" / "00000100"
+    async_root = tmp_path / "async" / "00000100"
+    for sub in ("model_params", "means", "vars"):
+        files = sorted(os.listdir(sync_root / sub))
+        assert files and files == sorted(os.listdir(async_root / sub))
+        for fn in files:
+            assert (sync_root / sub / fn).read_bytes() == (
+                async_root / sub / fn
+            ).read_bytes(), fn
+    assert (sync_root / "trainer_checkpoint.txt").read_text() == (
+        async_root / "trainer_checkpoint.txt"
+    ).read_text()
+
+
+def test_trainer_async_checkpoint_and_resume_latest(tmp_path):
+    import dataclasses
+
+    from resnet_tpu.config import RESUME_LATEST
+    from resnet_tpu.train.checkpoint import FINAL_DUMP_ID, discover_latest_dump
+
+    dumps = str(tmp_path / "dumps")
+    cfg = tiny_cfg(
+        checkpoint_dir=dumps, checkpoint_every=2, log_every=0,
+        async_checkpoint=True,
+    )
+    trainer = Trainer(cfg, use_mesh=False)
+    trainer.run(5)
+    trainer.checkpointer.wait()
+    for d in ("00000000", "00000002", "00000004"):
+        assert os.path.isdir(tmp_path / "dumps" / d), d
+    assert discover_latest_dump(dumps) == 4
+
+    # resume 'latest' finds the newest periodic dump
+    cfg2 = dataclasses.replace(cfg, resume_from=RESUME_LATEST, async_checkpoint=False)
+    t2 = Trainer(cfg2, use_mesh=False)
+    assert int(t2.state.step) == 4
+
+    # after finalize the final sentinel wins
+    trainer.finalize()
+    assert discover_latest_dump(dumps) == FINAL_DUMP_ID
+
+    # latest on an empty dir is a loud error
+    cfg3 = dataclasses.replace(
+        cfg, resume_from=RESUME_LATEST, checkpoint_dir=str(tmp_path / "nowhere")
+    )
+    with pytest.raises(FileNotFoundError):
+        Trainer(cfg3, use_mesh=False)
