@@ -78,4 +78,4 @@ def _enable_compile_cache() -> None:
 
 _enable_compile_cache()
 
-from . import analysis, config, data, models, ops, optim, parallel, train, utils  # noqa: E402
+from . import analysis, config, data, export, models, ops, optim, parallel, train, utils  # noqa: E402

@@ -1,0 +1,99 @@
+"""Serving export: freeze the eval forward into a portable StableHLO artifact.
+
+The reference has no inference or serving path at all — its six binaries
+train only (resnet.cu:3222-3429 is a training main; prediction exists only
+as the train-step softmax copied to host, resnet.cu:1774). A production
+framework needs a deployment artifact, so this module provides one the
+TPU-native way:
+
+- ``export_inference`` closes the eval forward (running-stats BN — batch
+  statistics are a training-only semantic, resnet.cu:289) over the trained
+  weights, so parameters are baked into the program as constants, and
+  exports it via ``jax.export`` with a SYMBOLIC batch dimension: one
+  artifact serves any batch size.
+- ``save_inference`` / ``load_inference`` serialize the artifact to bytes
+  on disk and restore a callable from them. Serving hosts need jax and
+  this file's loader — no model code, config system, or checkpoint
+  machinery.
+
+The artifact is StableHLO, so it is compiled (and autotuned) by the
+serving host's own XLA for its own backend; export with
+``platforms=('tpu', 'cpu')`` for an artifact that runs on both.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax import export as jax_export
+
+from .config import ExecutionConfig, ModelConfig
+from .models import forward
+
+
+def export_inference(
+    params,
+    mcfg: ModelConfig,
+    *,
+    bn_state=None,
+    ecfg: Optional[ExecutionConfig] = None,
+    batch: Optional[int] = None,
+    dtype=jnp.float32,
+    platforms: Optional[Sequence[str]] = None,
+) -> jax_export.Exported:
+    """Freeze (params, bn_state) into an images -> fp32 logits program.
+
+    batch: None exports a symbolic batch dimension (any batch size at
+    serving time); an int pins it. platforms: None = the current backend
+    only; pass ('tpu', 'cpu') for a portable artifact.
+    """
+    ecfg = ecfg or ExecutionConfig()
+
+    def infer(images):
+        logits, _ = forward(
+            params, images, mcfg, ecfg, train=False, bn_state=bn_state
+        )
+        return logits
+
+    d = mcfg.input_dim
+    dims = (d, d, 3) if ecfg.layout == "NHWC" else (3, d, d)
+    if batch is None:
+        shape = jax_export.symbolic_shape("b, " + ", ".join(map(str, dims)))
+    else:
+        shape = (batch, *dims)
+    spec = jax.ShapeDtypeStruct(shape, dtype)
+    kwargs = {"platforms": list(platforms)} if platforms else {}
+    return jax_export.export(jax.jit(infer), **kwargs)(spec)
+
+
+def export_inference_from_state(state, cfg, **kwargs) -> jax_export.Exported:
+    """Convenience: export a TrainState under its TrainConfig."""
+    return export_inference(
+        state.params,
+        cfg.model,
+        bn_state=state.bn_state,
+        ecfg=cfg.execution,
+        **kwargs,
+    )
+
+
+def save_inference(path: str, exported: jax_export.Exported) -> str:
+    data = exported.serialize()
+    tmp = f"{path}.tmp-{os.getpid()}"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, path)
+    return path
+
+
+def load_inference(path_or_bytes) -> jax_export.Exported:
+    """Restore an exported model; run it with ``.call(images)``."""
+    if isinstance(path_or_bytes, (bytes, bytearray)):
+        data = bytes(path_or_bytes)
+    else:
+        with open(path_or_bytes, "rb") as f:
+            data = f.read()
+    return jax_export.deserialize(data)

@@ -100,6 +100,11 @@ def build_config(argv=None) -> tuple:
     ap.add_argument("--evaluate", action="store_true",
                     help="run evaluation over the shard dir instead of training"
                          " (requires --resume-from for the checkpoint)")
+    ap.add_argument("--export", default="",
+                    help="write a serving artifact (StableHLO, weights baked"
+                         " in, symbolic batch) of the eval forward to this"
+                         " path and exit; combine with --resume-from to"
+                         " export a trained checkpoint")
     ap.add_argument("--eval-batches", type=int, default=0,
                     help="0 = one full pass over the shards")
     args = ap.parse_args(argv)
@@ -219,7 +224,14 @@ def main(argv=None):
     from .trainer import Trainer
 
     trainer = Trainer(cfg, use_mesh=False if args.no_mesh else None)
-    if args.evaluate:
+    if args.export:
+        from ..export import export_inference_from_state, save_inference
+
+        path = save_inference(
+            args.export, export_inference_from_state(trainer.state, cfg)
+        )
+        print(f"exported serving artifact: {path} ({os.path.getsize(path)} bytes)")
+    elif args.evaluate:
         data = trainer._build_data()
         n = args.eval_batches or getattr(
             data, "batches_per_epoch", 10

@@ -64,6 +64,23 @@ def test_cli_trains_and_evaluates(tmp_path, capsys):
     with pytest.raises(SystemExit):
         build_config(["--resume-from", "not-a-dump-id"])
 
+    # --export: freeze the latest checkpoint into a serving artifact,
+    # reload it and run inference with only the artifact bytes
+    art = str(tmp_path / "model.stablehlo")
+    main([
+        "--model", "tiny", "--synthetic", "--batch-size", "8",
+        "--checkpoint-dir", ckpt, "--resume-from", "latest", "--no-mesh",
+        "--log-every", "0", "--export", art,
+    ])
+    out = capsys.readouterr().out
+    assert "exported serving artifact" in out
+    from resnet_tpu.export import load_inference
+
+    served = load_inference(art)
+    logits = np.asarray(served.call(np.zeros((2, 16, 16, 3), np.float32)))
+    assert logits.shape == (2, 8)
+    assert np.all(np.isfinite(logits))
+
 
 def test_variant_presets():
     """The reference's six binaries map onto config presets (SURVEY.md §0)."""
