@@ -22,6 +22,11 @@ BASELINE_IMG_PER_SEC_PER_CHIP = 3000.0
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="resnet50",
+                    help="any config.PRESETS name (resnet18/34/50/"
+                         "101/152, wide/resnext variants); headline metric"
+                         " is resnet50 — other models print their own"
+                         " labeled line")
     ap.add_argument("--batch-size", type=int, default=0, help="0 = auto")
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--warmup", type=int, default=3)
@@ -83,6 +88,7 @@ def main():
         not args.no_dual
         and not args.eval
         and not args.scan
+        and args.model == "resnet50"
         and args.projections == "standard"
     ):
         result = run_bench(args, projections="reference")
@@ -107,7 +113,7 @@ def run_bench(args, projections: str) -> dict:
 
     cfg = TrainConfig(
         model=model_config(
-            "resnet50",
+            args.model,
             input_dim=image_dim,
             stride_projection_kernel=3 if projections == "reference" else 1,
         ),
@@ -190,16 +196,20 @@ def run_bench(args, projections: str) -> dict:
     img_per_sec = batch / dt_per_step
     n_chips = max(1, len(jax.devices()))
     per_chip = img_per_sec / n_chips
-    metric = (
-        "resnet50_eval_images_per_sec_per_chip"
-        if args.eval
-        else "resnet50_train_images_per_sec_per_chip"
+    metric = "{}_{}_images_per_sec_per_chip".format(
+        args.model, "eval" if args.eval else "train"
     )
     return {
         "metric": metric,
         "value": round(per_chip, 2),
         "unit": "images/sec/chip",
-        "vs_baseline": round(per_chip / BASELINE_IMG_PER_SEC_PER_CHIP, 4),
+        # the 3000 baseline describes ResNet-50 training; other models
+        # carry no comparable target
+        "vs_baseline": (
+            round(per_chip / BASELINE_IMG_PER_SEC_PER_CHIP, 4)
+            if args.model == "resnet50"
+            else None
+        ),
         # self-description (round-2 verdict item #3): the number's meaning
         # rides in the artifact, not in docs/git archaeology
         "topology": projections,  # 'standard' 1x1/s2 | 'reference' 3x3/s2
