@@ -188,6 +188,18 @@ class ExecutionConfig:
     # the stem shape = its DMA roofline; 'mask' is 16x slower (strided
     # slices relayout). Keep the default.
     maxpool_vjp: str = "select_scatter"
+    # Gradient accumulation: split each step's batch into this many
+    # microbatches and lax.scan them inside the ONE jitted step — summed
+    # gradients (the reference's summed-CE convention makes the sum exact),
+    # one optimizer update. The memory-strategy axis the reference's lowmem
+    # variants chase by hand (rotating scratch buffers, SURVEY.md appendix):
+    # peak activation memory drops to one microbatch's worth, so effective
+    # batch no longer caps at what activations fit. With bn_mode='batch',
+    # BN statistics are per-microbatch (ghost BN at microbatch granularity,
+    # Hoffer et al. 2017 — the same semantics as per-replica BN in any
+    # data-parallel run); running stats EMA-merge sequentially, exactly as
+    # sequential smaller steps would. frozen/off BN are microbatch-exact.
+    grad_accum: int = 1
     # Run Pallas kernels in interpreter mode (CPU testing); None = auto
     # (interpret unless running on real TPU).
     pallas_interpret: Optional[bool] = None
@@ -226,6 +238,11 @@ class ExecutionConfig:
             raise ValueError(
                 f"ExecutionConfig.bn_stats_batch={self.bn_stats_batch}; "
                 "expected 0 (full batch) or a positive stats-sample size"
+            )
+        if self.grad_accum < 1:
+            raise ValueError(
+                f"ExecutionConfig.grad_accum={self.grad_accum}; expected"
+                " a positive microbatch count"
             )
 
     def jit_compiler_options(self) -> dict:

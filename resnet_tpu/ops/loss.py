@@ -42,8 +42,13 @@ def cross_entropy(
     raise ValueError(f"unknown reduction {reduction!r}")
 
 
-def top1_accuracy(logits: jax.Array, labels: jax.Array) -> jax.Array:
-    return jnp.mean((jnp.argmax(logits, axis=-1) == labels).astype(jnp.float32))
+def top1_accuracy(
+    logits: jax.Array, labels: jax.Array, mean: bool = True
+) -> jax.Array:
+    """mean=False returns the correct-prediction COUNT (fp32) so callers
+    accumulating over microbatches can divide by the full batch once."""
+    hits = (jnp.argmax(logits, axis=-1) == labels).astype(jnp.float32)
+    return jnp.mean(hits) if mean else jnp.sum(hits)
 
 
 def topk_accuracy(logits: jax.Array, labels: jax.Array, k: int = 5) -> jax.Array:

@@ -58,6 +58,12 @@ def build_config(argv=None) -> tuple:
     ap.add_argument("--kernels", default="xla", choices=["xla", "pallas", "fused"])
     ap.add_argument("--conv-kernels", default="xla", choices=["xla", "pallas"])
     ap.add_argument("--remat", default="none", choices=["none", "block", "stage", "elementwise"])
+    ap.add_argument("--grad-accum", type=int, default=1,
+                    help="split each step's batch into N microbatches"
+                         " scanned inside the jitted step (summed grads,"
+                         " one optimizer update) — train at batch sizes"
+                         " whose activations don't fit; composes with"
+                         " --remat (the lowmem memory-strategy axis)")
     ap.add_argument("--transfer-dtype", default="float32",
                     choices=["float32", "bfloat16"],
                     help="host->device image transfer dtype (bfloat16"
@@ -174,6 +180,7 @@ def build_config(argv=None) -> tuple:
             matmul_precision="default" if args.dtype == "bfloat16" else "highest",
             remat=args.remat,
             space_to_depth=args.space_to_depth,
+            grad_accum=args.grad_accum,
         ),
         optimizer=OptimizerConfig(
             name=args.optimizer,

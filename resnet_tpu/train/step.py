@@ -131,26 +131,30 @@ def _apply_optimizer(grads, state: TrainState, cfg: TrainConfig):
 
 def train_step(state: TrainState, batch, cfg: TrainConfig):
     """Pure train step: (state, batch) -> (new_state, metrics)."""
-    (loss_sum, (logits, aux)), grads = jax.value_and_grad(
-        _loss_fn, has_aux=True
-    )(state.params, batch, state.bn_state, cfg)
+    if cfg.execution.grad_accum > 1:
+        loss_sum, n_correct, grads, new_bn = _accum_grads(state, batch, cfg)
+    else:
+        (loss_sum, (logits, aux)), grads = jax.value_and_grad(
+            _loss_fn, has_aux=True
+        )(state.params, batch, state.bn_state, cfg)
+        n_correct = top1_accuracy(logits, batch["labels"], mean=False)
+        # Only batch-stats BN produces real statistics worth merging:
+        # 'frozen' returns the running stats themselves and 'off' returns
+        # (0, 1) placeholders — EMA-merging either would silently corrupt
+        # the stored running statistics of a checkpointed diagnostic run.
+        if cfg.execution.bn_mode == "batch":
+            new_bn = _merge_running_stats(
+                state.bn_state, aux["bn_stats"], cfg.model.bn_momentum
+            )
+        else:
+            new_bn = state.bn_state
 
     new_params, new_opt, lr = _apply_optimizer(grads, state, cfg)
-    # Only batch-stats BN produces real statistics worth merging:
-    # 'frozen' returns the running stats themselves and 'off' returns
-    # (0, 1) placeholders — EMA-merging either would silently corrupt the
-    # stored running statistics of a checkpointed diagnostic run.
-    if cfg.execution.bn_mode == "batch":
-        new_bn = _merge_running_stats(
-            state.bn_state, aux["bn_stats"], cfg.model.bn_momentum
-        )
-    else:
-        new_bn = state.bn_state
     batch_n = batch["labels"].shape[0]
     metrics = {
         "loss": loss_sum / batch_n,  # reported mean, resnet.cu:3360-3380
         "loss_sum": loss_sum,
-        "accuracy": top1_accuracy(logits, batch["labels"]),
+        "accuracy": n_correct / batch_n,
         "learning_rate": lr,
         "grad_norm": jnp.sqrt(
             sum(jnp.sum(jnp.square(g.astype(jnp.float32))) for g in jax.tree.leaves(grads))
@@ -163,6 +167,52 @@ def train_step(state: TrainState, batch, cfg: TrainConfig):
         step=state.step + 1,
     )
     return new_state, metrics
+
+
+def _accum_grads(state: TrainState, batch, cfg: TrainConfig):
+    """Summed gradients over grad_accum microbatches via one device-side
+    lax.scan: one microbatch's activations live at a time (the lowmem
+    memory strategy, SURVEY.md appendix), while the summed-CE convention
+    (resnet.cu:1806-1811) makes the accumulated gradient EXACTLY the
+    full-batch gradient wherever the per-sample compute is batch-independent
+    (frozen/off BN; with batch-stats BN the statistics sample is the
+    microbatch — see ExecutionConfig.grad_accum)."""
+    a = cfg.execution.grad_accum
+    n = batch["labels"].shape[0]
+    if n % a != 0:
+        raise ValueError(
+            f"batch size {n} is not divisible by grad_accum={a}"
+        )
+    micro = jax.tree.map(
+        lambda x: x.reshape((a, n // a) + x.shape[1:]), batch
+    )
+    grad_fn = jax.value_and_grad(_loss_fn, has_aux=True)
+
+    def body(carry, mb):
+        loss_acc, correct_acc, grads_acc, bn_state = carry
+        (loss_sum, (logits, aux)), grads = grad_fn(
+            state.params, mb, bn_state, cfg
+        )
+        grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
+        if cfg.execution.bn_mode == "batch":
+            bn_state = _merge_running_stats(
+                bn_state, aux["bn_stats"], cfg.model.bn_momentum
+            )
+        correct_acc = correct_acc + top1_accuracy(
+            logits, mb["labels"], mean=False
+        )
+        return (loss_acc + loss_sum, correct_acc, grads_acc, bn_state), None
+
+    init = (
+        jnp.float32(0.0),
+        jnp.float32(0.0),
+        jax.tree.map(jnp.zeros_like, state.params),
+        state.bn_state,
+    )
+    (loss_sum, n_correct, grads, bn_state), _ = jax.lax.scan(
+        body, init, micro
+    )
+    return loss_sum, n_correct, grads, bn_state
 
 
 def eval_step(state: TrainState, batch, cfg: TrainConfig):
