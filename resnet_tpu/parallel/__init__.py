@@ -1,9 +1,17 @@
-from .mesh import make_mesh, replicate, shard_batch
+from .mesh import (
+    composite_shardings,
+    make_mesh,
+    make_mesh_2d,
+    replicate,
+    shard_batch,
+)
 from .data_parallel import make_shard_map_train_step
 from .distributed import host_batch_slice, initialize_distributed
 
 __all__ = [
+    "composite_shardings",
     "make_mesh",
+    "make_mesh_2d",
     "replicate",
     "shard_batch",
     "make_shard_map_train_step",

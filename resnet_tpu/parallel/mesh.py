@@ -32,6 +32,50 @@ def make_mesh(
     return Mesh(np.asarray(devices), (axis,))
 
 
+def make_mesh_2d(
+    data: int,
+    model: int,
+    devices: Optional[Sequence[jax.Device]] = None,
+    axes: Sequence[str] = ("data", "model"),
+) -> Mesh:
+    """(data x model) mesh for composite data+tensor parallelism. Lay the
+    model axis innermost so its collectives ride adjacent-chip ICI links
+    (the torus neighbors), with the data axis's gradient all-reduce on the
+    outer dimension."""
+    if devices is None:
+        devices = jax.devices()
+    n = data * model
+    if n > len(devices):
+        raise ValueError(
+            f"mesh wants {data}x{model}={n} devices, only "
+            f"{len(devices)} available"
+        )
+    grid = np.asarray(devices[:n]).reshape(data, model)
+    return Mesh(grid, tuple(axes))
+
+
+def composite_shardings(state, mesh: Mesh, model_axis: str = "model"):
+    """Sharding tree for a TrainState on a (data, model) mesh: the FC head
+    (weights, bias, and their optimizer moments — every leaf whose path
+    passes through 'fc') is sharded over the model axis on its class dim;
+    everything else is replicated, with the batch sharded over 'data' by
+    the caller. Tensor parallelism where a ResNet has a dense matmul to
+    split; conv stages scale by data parallelism. The partitioner inserts
+    the logit all-gather / sharded-softmax collectives automatically."""
+    size = mesh.shape[model_axis]
+    repl = NamedSharding(mesh, P())
+
+    def assign(path, leaf):
+        in_fc = any(getattr(p, "key", None) == "fc" for p in path)
+        shape = getattr(leaf, "shape", ())
+        if in_fc and shape and shape[-1] % size == 0:
+            spec = [None] * (len(shape) - 1) + [model_axis]
+            return NamedSharding(mesh, P(*spec))
+        return repl
+
+    return jax.tree_util.tree_map_with_path(assign, state)
+
+
 def shard_batch(batch, mesh: Mesh, axis: str = "data"):
     """Place a host batch dict onto the mesh, sharded along the batch dim."""
     sharding = NamedSharding(mesh, P(axis))

@@ -232,12 +232,17 @@ def eval_step(state: TrainState, batch, cfg: TrainConfig):
     }
 
 
-def make_train_step(cfg: TrainConfig, mesh=None, donate: bool = True):
-    """Jit the train step, optionally sharded over a data-parallel mesh.
+def make_train_step(
+    cfg: TrainConfig, mesh=None, donate: bool = True, state_shardings=None
+):
+    """Jit the train step, optionally sharded over a device mesh.
 
     With a mesh, batch arrays are sharded along the 'data' axis and state is
     replicated; jit's partitioner inserts the ICI gradient all-reduce
     (the TPU-native replacement for the absent NCCL layer, SURVEY.md 2.7).
+    state_shardings overrides the replicated state placement for composite
+    meshes (e.g. parallel.composite_shardings: FC head tensor-parallel over
+    a 'model' axis) — the partitioner derives the matching collectives.
     """
     fn = functools.partial(train_step, cfg=cfg)
     kwargs: Dict[str, Any] = {}
@@ -250,12 +255,13 @@ def make_train_step(cfg: TrainConfig, mesh=None, donate: bool = True):
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         replicated = NamedSharding(mesh, P())
+        state_sh = state_shardings if state_shardings is not None else replicated
         batch_sharded = {
             "images": NamedSharding(mesh, P(cfg.parallel.data_axis)),
             "labels": NamedSharding(mesh, P(cfg.parallel.data_axis)),
         }
-        kwargs["in_shardings"] = (replicated, batch_sharded)
-        kwargs["out_shardings"] = (replicated, replicated)
+        kwargs["in_shardings"] = (state_sh, batch_sharded)
+        kwargs["out_shardings"] = (state_sh, replicated)
     return jax.jit(fn, **kwargs)
 
 

@@ -114,3 +114,67 @@ def test_multi_host_shard_stream_offsets(monkeypatch, tmp_path):
 def test_initialize_distributed_noop():
     # single-process: explicit num_processes=1 is a no-op
     initialize_distributed(num_processes=1)
+
+
+def test_composite_mesh_fc_tensor_parallel_matches_single_device(rng):
+    """(data x model) mesh: FC head sharded over the model axis, batch over
+    data — one step must reproduce 1-device numerics (the partitioner's
+    derived collectives are semantically invisible)."""
+    from resnet_tpu.config import (
+        DataConfig,
+        ExecutionConfig,
+        OptimizerConfig,
+        TrainConfig,
+        tiny_model_config,
+    )
+    from resnet_tpu.parallel import composite_shardings, make_mesh_2d
+    from resnet_tpu.train import init_train_state, make_train_step
+
+    mesh = make_mesh_2d(4, 2)
+    assert mesh.axis_names == ("data", "model")
+    cfg = TrainConfig(
+        model=tiny_model_config(),
+        execution=ExecutionConfig(),
+        # SGD: the param delta is lr*grad, so tolerances compare gradients
+        # directly (Adam's first-step update is ~lr*sign(g), which flips on
+        # fp-reassociation noise for near-zero gradients)
+        optimizer=OptimizerConfig(name="sgd", learning_rate=1e-3),
+        data=DataConfig(batch_size=8, synthetic=True),
+    )
+    state = init_train_state(cfg)
+    shardings = composite_shardings(state, mesh)
+    # the FC kernel (and its Adam moments) actually land sharded
+    assert shardings.params["fc"]["w"].spec == jax.sharding.PartitionSpec(
+        None, "model"
+    )
+    assert shardings.params["blocks"][0]["bn_reduce"]["gamma"].spec == (
+        jax.sharding.PartitionSpec()
+    )
+
+    d = cfg.model.input_dim
+    batch = {
+        "images": rng.normal(0, 50, (8, d, d, 3)).astype(np.float32),
+        "labels": rng.integers(0, cfg.model.num_classes, (8,)).astype(np.int32),
+    }
+
+    placed = jax.device_put(state, shardings)
+    step = make_train_step(cfg, mesh, donate=False, state_shardings=shardings)
+    new_state, metrics = step(placed, shard_batch(batch, mesh))
+    assert new_state.params["fc"]["w"].sharding.spec == (
+        jax.sharding.PartitionSpec(None, "model")
+    )
+
+    step1 = make_train_step(cfg, donate=False)
+    ref_state, ref_metrics = step1(state, batch)
+    np.testing.assert_allclose(
+        float(metrics["loss"]), float(ref_metrics["loss"]), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(metrics["grad_norm"]), float(ref_metrics["grad_norm"]), rtol=1e-4
+    )
+    for a, b in zip(
+        jax.tree.leaves(new_state.params), jax.tree.leaves(ref_state.params)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+        )
