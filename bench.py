@@ -69,6 +69,11 @@ def main():
     ap.add_argument("--eval", action="store_true",
                     help="benchmark the inference path instead (eval_step:"
                          " forward with running-stats BN + metrics)")
+    ap.add_argument("--int8", action="store_true",
+                    help="with --eval: W8A8 post-training-quantized"
+                         " inference (quantize.py — BN folded, per-channel"
+                         " int8 weights, per-tensor int8 activations,"
+                         " int32 MXU accumulation)")
     ap.add_argument("--scan", type=int, default=0,
                     help="K>0: run K train steps inside ONE jitted lax.scan"
                          " (device-side loop, the shape of a real TPU input"
@@ -82,6 +87,9 @@ def main():
     if args.eval and args.scan:
         ap.error("--eval and --scan are mutually exclusive (the scan loop "
                  "drives the training step)")
+    if args.int8 and not args.eval:
+        ap.error("--int8 is an inference mode; combine it with --eval "
+                 "(int8 training is not a supported axis)")
 
     # Dual-topology default: one labeled line for the reference topology
     # (3x3/s2 projections, resnet.cu:770-797, ~2.3x projection FLOPs),
@@ -136,7 +144,24 @@ def run_bench(args, projections: str) -> dict:
     )
 
     state = init_train_state(cfg)
-    if args.eval:
+    if args.eval and args.int8:
+        from resnet_tpu.quantize import quantize_model, quantized_forward
+
+        calib = np.random.default_rng(1).normal(
+            0, 50, (min(32, batch), image_dim, image_dim, 3)
+        ).astype(np.float32)
+        qparams, scales = quantize_model(
+            state.params, state.bn_state, cfg.model, jax.device_put(calib)
+        )
+        qparams = jax.device_put(qparams)
+        qfn = jax.jit(
+            lambda qp, x: quantized_forward(qp, scales, x, cfg.model)
+        )
+
+        def step(s, b):  # logits sum = the device-sync barrier scalar
+            return s, {"loss": qfn(qparams, b["images"]).sum()}
+
+    elif args.eval:
         from resnet_tpu.train import make_eval_step
 
         eval_step = make_eval_step(cfg)
@@ -201,9 +226,10 @@ def run_bench(args, projections: str) -> dict:
     img_per_sec = batch / dt_per_step
     n_chips = max(1, len(jax.devices()))
     per_chip = img_per_sec / n_chips
-    metric = "{}_{}_images_per_sec_per_chip".format(
-        args.model, "eval" if args.eval else "train"
+    mode = "eval_int8" if (args.eval and args.int8) else (
+        "eval" if args.eval else "train"
     )
+    metric = f"{args.model}_{mode}_images_per_sec_per_chip"
     return {
         "metric": metric,
         "value": round(per_chip, 2),

@@ -97,3 +97,26 @@ def test_export_from_train_state_uses_running_stats(rng):
     state2 = state._replace(bn_state=bumped_bn)
     shifted = np.asarray(export_inference_from_state(state2, cfg, batch=2).call(x))
     assert not np.allclose(base, shifted)
+
+
+def test_quantized_export_roundtrip(tiny, rng, tmp_path):
+    """The W8A8 artifact serves any batch size and reproduces the direct
+    quantized forward exactly after a disk round-trip."""
+    from resnet_tpu.export import export_quantized_inference
+    from resnet_tpu.quantize import quantize_model, quantized_forward
+
+    mcfg, params, bn_state = tiny
+    calib = _images(rng, 8, mcfg.input_dim)
+    exported = export_quantized_inference(
+        params, mcfg, calib, bn_state=bn_state
+    )
+    path = save_inference(str(tmp_path / "model_int8.stablehlo"), exported)
+    served = load_inference(path)
+
+    qparams, scales = quantize_model(params, bn_state, mcfg, calib)
+    for n in (1, 4):
+        x = _images(rng, n, mcfg.input_dim)
+        got = np.asarray(served.call(x))
+        want = np.asarray(quantized_forward(qparams, scales, x, mcfg))
+        assert got.shape == (n, mcfg.num_classes)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
