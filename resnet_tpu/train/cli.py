@@ -113,6 +113,10 @@ def build_config(argv=None) -> tuple:
                          " export a trained checkpoint")
     ap.add_argument("--eval-batches", type=int, default=0,
                     help="0 = one full pass over the shards")
+    ap.add_argument("--int8", action="store_true",
+                    help="with --evaluate: W8A8 post-training-quantized"
+                         " inference (quantize.py; calibrates on the first"
+                         " eval batch)")
     args = ap.parse_args(argv)
 
     if args.resume_from == "latest":
@@ -243,9 +247,13 @@ def main(argv=None):
         n = args.eval_batches or getattr(
             data, "batches_per_epoch", 10
         )
-        metrics = trainer.evaluate(data, n)
+        if args.int8:
+            metrics = trainer.evaluate_quantized(data, n)
+        else:
+            metrics = trainer.evaluate(data, n)
+        tag = "int8 eval" if args.int8 else "eval"
         print(
-            f"eval over {n} batches: loss={metrics['loss']:.5f} "
+            f"{tag} over {n} batches: loss={metrics['loss']:.5f} "
             f"top1={metrics['accuracy']:.4f} top5={metrics.get('top5', 0):.4f}"
         )
     elif args.steps:

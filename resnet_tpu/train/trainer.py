@@ -282,6 +282,53 @@ class Trainer:
             it.stop()
         return {k: v / num_batches for k, v in sums.items()}
 
+    def evaluate_quantized(
+        self, data: Iterator, num_batches: int, calib_images=None
+    ) -> Dict[str, float]:
+        """Evaluate the W8A8 post-training-quantized model (quantize.py):
+        fold BN from the current state, calibrate (on ``calib_images`` if
+        given — ideally training batches — else on the first eval batch),
+        then run int8 inference over ``num_batches``. Returns the same
+        loss/accuracy/top5 means as ``evaluate`` for direct comparison."""
+        import itertools
+
+        import jax.numpy as jnp
+
+        from ..ops import cross_entropy, top1_accuracy, topk_accuracy
+        from ..quantize import quantize_model, quantized_forward
+
+        it = iter(data)
+        first = dict(next(it))
+        first.pop("cursor", None)
+        calib = calib_images if calib_images is not None else first["images"]
+        mcfg, relu_cap = self.cfg.model, self.cfg.execution.relu_cap
+        qparams, scales = quantize_model(
+            self.state.params, self.state.bn_state, mcfg,
+            jnp.asarray(calib), relu_cap=relu_cap,
+        )
+
+        @jax.jit
+        def qstep(qp, batch):
+            logits = quantized_forward(
+                qp, scales, batch["images"], mcfg, relu_cap=relu_cap
+            )
+            labels = batch["labels"]
+            return {
+                "loss": cross_entropy(logits, labels, reduction="mean"),
+                "accuracy": top1_accuracy(logits, labels),
+                "top5": topk_accuracy(logits, labels, 5),
+            }
+
+        sums: Dict[str, float] = {}
+        batches = itertools.chain([first], it)
+        for _ in range(num_batches):
+            batch = dict(next(batches))
+            batch.pop("cursor", None)
+            m = jax.device_get(qstep(qparams, batch))
+            for k, v in m.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+        return {k: v / num_batches for k, v in sums.items()}
+
     def finalize(self):
         if self._dev_iter is not None:
             self._dev_iter.stop()

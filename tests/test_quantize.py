@@ -94,3 +94,18 @@ def test_weight_quantization_is_per_channel_int8():
     # each output channel actually uses the int8 range (per-channel scale)
     assert int(jnp.min(jnp.max(jnp.abs(wq), axis=(0, 1, 2)))) >= 126
     assert "b" in qp["init"]  # folded bias rides along in fp32
+
+
+def test_cli_int8_evaluate(capsys):
+    """--evaluate --int8 drives the quantized model end-to-end through the
+    real CLI (calibration on the first eval batch, metrics printed)."""
+    from resnet_tpu.train.cli import main
+
+    main([
+        "--model", "tiny", "--synthetic", "--evaluate", "--int8",
+        "--eval-batches", "2", "--batch-size", "8", "--no-mesh",
+        "--log-every", "0",
+    ])
+    out = capsys.readouterr().out
+    assert "int8 eval over 2 batches" in out
+    assert "loss=" in out and "top1=" in out
