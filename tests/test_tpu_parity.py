@@ -187,3 +187,37 @@ def test_fused_model_forward_compiled(rng_m):
     mf, vf = af["bn_stats"]["init_bn"]
     np.testing.assert_allclose(np.asarray(mx), np.asarray(mf), rtol=1e-3, atol=1e-3)
     np.testing.assert_allclose(np.asarray(vx), np.asarray(vf), rtol=1e-2, atol=1e-2)
+
+
+def test_int8_quantized_forward_on_chip(rng_m):
+    """The W8A8 path's int8 convs (int32 MXU accumulation) produce the
+    same logits compiled on TPU as the CPU test suite verifies: compare
+    the on-chip quantized forward against its own fp folded model with
+    the CI thresholds (quantize.py is backend-agnostic jnp/lax — this
+    pins the TPU int8 lowering specifically)."""
+    from resnet_tpu.config import tiny_model_config
+    from resnet_tpu.models import init_bn_state, init_params
+    from resnet_tpu.quantize import (
+        fold_bn_inference,
+        folded_forward,
+        quantize_model,
+        quantized_forward,
+    )
+
+    mcfg = tiny_model_config(init_filters=32, input_dim=32)
+    params = init_params(jax.random.PRNGKey(1234), mcfg)
+    bn_state = jax.tree.map(lambda a: a + 0.1, init_bn_state(mcfg))
+    calib = _nhwc(rng_m, 8, 32, 3, scale=50.0)
+    qparams, scales = quantize_model(params, bn_state, mcfg, calib)
+    x = _nhwc(rng_m, 16, 32, 3, scale=50.0)
+    q = np.asarray(
+        jax.jit(lambda qp, xx: quantized_forward(qp, scales, xx, mcfg))(
+            qparams, x
+        )
+    )
+    fp = np.asarray(
+        folded_forward(fold_bn_inference(params, bn_state, mcfg), x, mcfg)
+    )
+    assert np.all(np.isfinite(q))
+    corr = np.corrcoef(fp.ravel(), q.ravel())[0, 1]
+    assert corr > 0.98, corr
