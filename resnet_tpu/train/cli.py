@@ -114,9 +114,9 @@ def build_config(argv=None) -> tuple:
     ap.add_argument("--eval-batches", type=int, default=0,
                     help="0 = one full pass over the shards")
     ap.add_argument("--int8", action="store_true",
-                    help="with --evaluate: W8A8 post-training-quantized"
-                         " inference (quantize.py; calibrates on the first"
-                         " eval batch)")
+                    help="with --evaluate or --export: W8A8 post-training-"
+                         "quantized inference (quantize.py; calibrates on"
+                         " the first data batch)")
     args = ap.parse_args(argv)
 
     if args.resume_from == "latest":
@@ -236,12 +236,25 @@ def main(argv=None):
 
     trainer = Trainer(cfg, use_mesh=False if args.no_mesh else None)
     if args.export:
-        from ..export import export_inference_from_state, save_inference
-
-        path = save_inference(
-            args.export, export_inference_from_state(trainer.state, cfg)
+        from ..export import (
+            export_inference_from_state,
+            export_quantized_inference,
+            save_inference,
         )
-        print(f"exported serving artifact: {path} ({os.path.getsize(path)} bytes)")
+
+        if args.int8:
+            calib = next(iter(trainer._build_data()))["images"]
+            exported = export_quantized_inference(
+                trainer.state.params, cfg.model, calib,
+                bn_state=trainer.state.bn_state,
+                relu_cap=cfg.execution.relu_cap,
+            )
+        else:
+            exported = export_inference_from_state(trainer.state, cfg)
+        path = save_inference(args.export, exported)
+        tag = "int8 " if args.int8 else ""
+        print(f"exported {tag}serving artifact: {path}"
+              f" ({os.path.getsize(path)} bytes)")
     elif args.evaluate:
         data = trainer._build_data()
         n = args.eval_batches or getattr(

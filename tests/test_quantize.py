@@ -109,3 +109,19 @@ def test_cli_int8_evaluate(capsys):
     out = capsys.readouterr().out
     assert "int8 eval over 2 batches" in out
     assert "loss=" in out and "top1=" in out
+
+
+def test_cli_int8_export(tmp_path, capsys):
+    """--export --int8 writes a servable W8A8 artifact."""
+    from resnet_tpu.export import load_inference
+    from resnet_tpu.train.cli import main
+
+    art = str(tmp_path / "model_int8.stablehlo")
+    main([
+        "--model", "tiny", "--synthetic", "--batch-size", "8", "--no-mesh",
+        "--log-every", "0", "--export", art, "--int8",
+    ])
+    assert "exported int8 serving artifact" in capsys.readouterr().out
+    served = load_inference(art)
+    logits = np.asarray(served.call(np.zeros((3, 16, 16, 3), np.float32)))
+    assert logits.shape == (3, 8) and np.all(np.isfinite(logits))
