@@ -125,3 +125,24 @@ def test_recipe_rehearsal(imagefolder, tmp_path):
     assert top1 > 2.0 / N_CLASSES, (
         f"eval top-1 {top1} not above chance {1 / N_CLASSES}"
     )
+
+    # leg 4: W8A8 PTQ on the SAME learned checkpoint — quantization must
+    # preserve the learned separation (above chance, near the fp result)
+    out4 = _run_cli(
+        [
+            "--model", "tiny",
+            "--jpeg-dir", imagefolder,
+            "--batch-size", "16",
+            "--optimizer", "sgd",
+            "--checkpoint-dir", ckpt,
+            "--resume-from", "77777777",
+            "--evaluate", "--int8",
+            "--eval-batches", "6",
+            "--no-mesh",
+        ]
+    )
+    q_top1 = float(re.search(r"top1=([0-9.]+)", out4).group(1))
+    assert q_top1 > 2.0 / N_CLASSES, (top1, q_top1)
+    assert q_top1 >= top1 - 0.15, (
+        f"int8 top-1 {q_top1} fell more than 0.15 below fp {top1}"
+    )
