@@ -165,14 +165,14 @@ def calibrate(iparams, images, mcfg: ModelConfig, *, relu_cap=None,
     bs = batch_size or n
 
     @jax.jit
-    def one(batch):
+    def one(ip, batch):  # params as an argument, not a baked-in constant
         obs: Dict[str, Any] = {}
-        folded_forward(iparams, batch, mcfg, relu_cap=relu_cap, observe=obs)
+        folded_forward(ip, batch, mcfg, relu_cap=relu_cap, observe=obs)
         return obs
 
     scales: Dict[str, jax.Array] = {}
     for i in range(0, n, bs):
-        obs = one(images[i:i + bs])
+        obs = one(iparams, images[i:i + bs])
         for k, v in obs.items():
             v = jnp.maximum(v, 1e-8) / 127.0
             scales[k] = v if k not in scales else jnp.maximum(scales[k], v)
