@@ -1,7 +1,9 @@
 """Post-training int8 quantization for the inference path (W8A8).
 
-The reference has no inference path at all, let alone a quantized one; this
-is the TPU-native serving accelerator: v5e's MXU runs int8 at 2x its bf16
+The reference has no inference path at all (its six binaries train only,
+resnet.cu:3222-3429; prediction exists solely as the train-step softmax
+copied to host, resnet.cu:1774), let alone a quantized one; this is the
+TPU-native serving accelerator: v5e's MXU runs int8 at 2x its bf16
 peak (measured 393.6 TOP/s vs 197.6 TFLOP/s on this chip for the same
 stage-1 conv shape), and int8 activations halve HBM traffic. The recipe is
 the standard production PTQ stack:

@@ -41,14 +41,16 @@ def _images(rng, n, d):
 
 
 @pytest.mark.parametrize("bottleneck", [True, False])
-def test_bn_folding_matches_eval_forward(rng, bottleneck):
+@pytest.mark.parametrize("relu_cap", [None, 10.0])  # 'fast' variant cap
+def test_bn_folding_matches_eval_forward(rng, bottleneck, relu_cap):
     mcfg, params, bn_state = _setup(bottleneck)
     x = _images(rng, 4, mcfg.input_dim)
     want, _ = forward(
-        params, x, mcfg, ExecutionConfig(), train=False, bn_state=bn_state
+        params, x, mcfg, ExecutionConfig(relu_cap=relu_cap), train=False,
+        bn_state=bn_state,
     )
     iparams = fold_bn_inference(params, bn_state, mcfg)
-    got = folded_forward(iparams, x, mcfg)
+    got = folded_forward(iparams, x, mcfg, relu_cap=relu_cap)
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4
     )
