@@ -42,15 +42,23 @@ def export_inference(
     ecfg: Optional[ExecutionConfig] = None,
     batch: Optional[int] = None,
     dtype=jnp.float32,
+    weights_dtype=None,
     platforms: Optional[Sequence[str]] = None,
 ) -> jax_export.Exported:
     """Freeze (params, bn_state) into an images -> fp32 logits program.
 
     batch: None exports a symbolic batch dimension (any batch size at
     serving time); an int pins it. platforms: None = the current backend
-    only; pass ('tpu', 'cpu') for a portable artifact.
+    only; pass ('tpu', 'cpu') for a portable artifact. weights_dtype:
+    cast the baked-in weights (e.g. 'bfloat16' halves the artifact;
+    TPU serving computes in bf16 anyway — logits stay fp32).
     """
     ecfg = ecfg or ExecutionConfig()
+    if weights_dtype is not None:
+        wd = jnp.dtype(weights_dtype)
+        params = jax.tree.map(lambda a: a.astype(wd), params)
+        if bn_state is not None:
+            bn_state = jax.tree.map(lambda a: a.astype(wd), bn_state)
 
     def infer(images):
         logits, _ = forward(

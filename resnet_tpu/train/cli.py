@@ -117,6 +117,10 @@ def build_config(argv=None) -> tuple:
                     help="with --evaluate or --export: W8A8 post-training-"
                          "quantized inference (quantize.py; calibrates on"
                          " the first data batch)")
+    ap.add_argument("--export-dtype", default="",
+                    choices=["", "float32", "bfloat16"],
+                    help="with --export: cast baked-in weights (bfloat16"
+                         " halves the artifact; logits stay fp32)")
     args = ap.parse_args(argv)
 
     if args.resume_from == "latest":
@@ -250,7 +254,11 @@ def main(argv=None):
                 relu_cap=cfg.execution.relu_cap,
             )
         else:
-            exported = export_inference_from_state(trainer.state, cfg)
+            kw = (
+                {"weights_dtype": args.export_dtype}
+                if args.export_dtype else {}
+            )
+            exported = export_inference_from_state(trainer.state, cfg, **kw)
         path = save_inference(args.export, exported)
         tag = "int8 " if args.int8 else ""
         print(f"exported {tag}serving artifact: {path}"

@@ -120,3 +120,18 @@ def test_quantized_export_roundtrip(tiny, rng, tmp_path):
         want = np.asarray(quantized_forward(qparams, scales, x, mcfg))
         assert got.shape == (n, mcfg.num_classes)
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_bf16_weights_export_halves_artifact(tiny, rng):
+    """weights_dtype='bfloat16' halves the baked-constant payload while the
+    logits stay close to the fp32 artifact's."""
+    mcfg, params, bn_state = tiny
+    fp = export_inference(params, mcfg, bn_state=bn_state).serialize()
+    bf = export_inference(
+        params, mcfg, bn_state=bn_state, weights_dtype="bfloat16"
+    ).serialize()
+    assert len(bf) < 0.65 * len(fp), (len(fp), len(bf))
+    x = _images(rng, 2, mcfg.input_dim)
+    a = np.asarray(load_inference(fp).call(x))
+    b = np.asarray(load_inference(bf).call(x))
+    np.testing.assert_allclose(a, b, rtol=0.05, atol=0.3)
