@@ -63,7 +63,7 @@ def _block_kernel(
     out_hbm, r_hbm, s_hbm, e_hbm,
     sums_r_ref, sums_s_ref, sums_e_ref,
     ubuf_ref,
-    *, nbs, h, w, w8, c, c4, m, eps, cap, dtype,
+    *, nbs, h, w, w8, c, c4, m, eps, cap, dtype, prec,
 ):
     """Tensors cross HBM as 2-D (rows, channels) slabs — row blocks of
     nb*h*w are 8-sublane aligned by construction — except r, which the 3x3
@@ -88,7 +88,7 @@ def _block_kernel(
             x_blk[:], w1_ref[:],
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=lax.Precision.DEFAULT,
+            precision=prec,
         )
         r_blk[:, :, :w, :] = y.reshape(nb0, h, w, c).astype(dtype)
         if w8 > w:
@@ -119,7 +119,7 @@ def _block_kernel(
                     w2_ref[i, j],
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                    precision=lax.Precision.DEFAULT,
+                    precision=prec,
                 )
         s_blk[:] = acc.astype(dtype)
         sums_s_ref[0, :] += jnp.sum(acc, axis=0)
@@ -140,7 +140,7 @@ def _block_kernel(
             v.astype(dtype), w3_ref[:],
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=lax.Precision.DEFAULT,
+            precision=prec,
         )
         e_blk[:] = y.astype(dtype)
         sums_e_ref[0, :] += jnp.sum(y, axis=0)
@@ -200,7 +200,7 @@ def _pick_nb(n, h, w, per_img_bytes, budget=5 * 1024 * 1024):
 
 
 def _block_fused_fwd_jnp(x, w1, w2, w3, g1, b1, g2, b2, g3, b3,
-                         *, eps, cap):
+                         *, eps, cap, prec):
     """Pure-jnp mirror of the kernel (same fp32-accumulate / bf16-round
     points) — the interpret-mode path: emit_pipeline cannot run under the
     CPU interpreter (it queries the TPU generation), so CPU tests check
@@ -221,7 +221,7 @@ def _block_fused_fwd_jnp(x, w1, w2, w3, g1, b1, g2, b2, g3, b3,
     r_f = lax.dot_general(
         x.reshape(-1, c4).astype(dt), w1.astype(dt),
         (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-        precision=lax.Precision.DEFAULT,
+        precision=prec,
     ).reshape(n, h, w_, c)
     sums_r = sums_of(r_f)
     r = r_f.astype(dt)
@@ -232,7 +232,7 @@ def _block_fused_fwd_jnp(x, w1, w2, w3, g1, b1, g2, b2, g3, b3,
         u, w2.astype(dt), (1, 1), ((1, 1), (1, 1)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.float32,
-        precision=lax.Precision.DEFAULT,
+        precision=prec,
     )
     sums_s = sums_of(s_f)
     s = s_f.astype(dt)
@@ -242,7 +242,7 @@ def _block_fused_fwd_jnp(x, w1, w2, w3, g1, b1, g2, b2, g3, b3,
     e_f = lax.dot_general(
         v.reshape(-1, c), w3.astype(dt),
         (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-        precision=lax.Precision.DEFAULT,
+        precision=prec,
     ).reshape(n, h, w_, c4)
     sums_e = sums_of(e_f)
     e = e_f.astype(dt)
@@ -255,10 +255,11 @@ def _block_fused_fwd_jnp(x, w1, w2, w3, g1, b1, g2, b2, g3, b3,
 
 
 def _block_fused_fwd_raw(x, w1, w2, w3, g1, b1, g2, b2, g3, b3,
-                         *, eps, cap, interpret):
+                         *, eps, cap, prec, interpret):
     if interpret:
         return _block_fused_fwd_jnp(
-            x, w1, w2, w3, g1, b1, g2, b2, g3, b3, eps=eps, cap=cap
+            x, w1, w2, w3, g1, b1, g2, b2, g3, b3, eps=eps, cap=cap,
+            prec=prec,
         )
     n, h, w_, c4 = x.shape
     c = w1.shape[-1]
@@ -281,7 +282,7 @@ def _block_fused_fwd_raw(x, w1, w2, w3, g1, b1, g2, b2, g3, b3,
 
     kernel = functools.partial(
         _block_kernel, nbs=(nb0, nb1, nb2, nb3), h=h, w=w_, w8=w8, c=c,
-        c4=c4, m=m, eps=eps, cap=cap, dtype=x.dtype,
+        c4=c4, m=m, eps=eps, cap=cap, dtype=x.dtype, prec=prec,
     )
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     anys = lambda: pl.BlockSpec(memory_space=pltpu.ANY)
@@ -401,9 +402,11 @@ def block_fused(x, w1, w2, w3, g1, b1, g2, b2, g3, b3,
     (w1p, w2p, w3p, g1p, b1p, g2p, b2p), c_real = _pad_interior(
         w1, w2, w3, g1, b1, g2, b2
     )
+    from ..ops.conv import _PRECISION
+
     out, _r, _s, _e, sums_r, sums_s, sums_e = _block_fused_fwd_raw(
         x, w1p, w2p, w3p, g1p, b1p, g2p, b2p, g3, b3,
-        eps=eps, cap=cap, interpret=interpret,
+        eps=eps, cap=cap, prec=_PRECISION[precision], interpret=interpret,
     )
     return out, sums_r[:, :c_real], sums_s[:, :c_real], sums_e
 
@@ -413,9 +416,11 @@ def _block_fused_vjp_fwd(x, w1, w2, w3, g1, b1, g2, b2, g3, b3,
     (w1p, w2p, w3p, g1p, b1p, g2p, b2p), c_real = _pad_interior(
         w1, w2, w3, g1, b1, g2, b2
     )
+    from ..ops.conv import _PRECISION
+
     out, r, s, e, sums_r, sums_s, sums_e = _block_fused_fwd_raw(
         x, w1p, w2p, w3p, g1p, b1p, g2p, b2p, g3, b3,
-        eps=eps, cap=cap, interpret=interpret,
+        eps=eps, cap=cap, prec=_PRECISION[precision], interpret=interpret,
     )
     res = (x, r, s, e, out, sums_r, sums_s, sums_e,
            w1p, w2p, w3p, g1p, b1p, g2p, b2p, g3, b3, c_real)

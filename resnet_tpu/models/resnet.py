@@ -129,6 +129,16 @@ def _bottleneck_block(
         and ecfg.bn_mode == "batch"
         and not ecfg.bn_stats_batch
         and mcfg.groups == 1
+        # compiled-kernel tiling feasibility: _pad_interior only pads the
+        # interior width C to 128 lanes, so the block input width 4C must
+        # already be lane-aligned, and some batch tile nb | N must give
+        # 8-sublane-aligned row blocks (nb*H*W % 8 == 0) — otherwise fall
+        # through to the per-op path instead of dying inside Mosaic
+        and x.shape[-1] % 128 == 0
+        and any(
+            x.shape[0] % nb == 0 and (nb * x.shape[1] * x.shape[2]) % 8 == 0
+            for nb in range(1, x.shape[0] + 1)
+        )
     ):
         # whole-block fused kernel: one pallas_call for the identity-
         # shortcut stride-1 bottleneck (12 of 16 blocks); projection /

@@ -123,6 +123,10 @@ def build_config(argv=None) -> tuple:
                          " halves the artifact; logits stay fp32)")
     args = ap.parse_args(argv)
 
+    if args.int8 and args.export_dtype:
+        ap.error("--export-dtype applies to the fp export only; the int8"
+                 " artifact's weights are already int8 (drop one flag)")
+
     if args.resume_from == "latest":
         resume_from = RESUME_LATEST
     else:

@@ -64,7 +64,14 @@ def make_handler(served):
                 self._reply(400, {"error": f"bad request: {e}"})
                 return
             t0 = time.perf_counter()
-            logits = np.asarray(served.call(x))
+            try:
+                logits = np.asarray(served.call(x))
+            except Exception as e:
+                # shape parsed but the artifact rejected it (wrong trailing
+                # dims / rank that still reshaped) — answer, don't drop the
+                # connection
+                self._reply(400, {"error": f"inference failed: {e}"})
+                return
             ms = (time.perf_counter() - t0) * 1000.0
             self._reply(200, {
                 "top1": logits.argmax(-1).tolist(),
