@@ -254,6 +254,20 @@ def run_bench(args, projections: str) -> dict:
         "dtype": args.dtype,
         "engine": args.kernels,
         "step_ms": round(dt_per_step * 1000, 2),
+        # whole-step HBM roofline (docs/step_roofline_r4.json,
+        # tools/step_roofline.py): sum over every HLO pass of
+        # max(bytes/BW, flops/peak). At the v5e DATASHEET 819 GB/s the
+        # floor is 92.7ms for this step's 67GB of traffic — above the
+        # 85.3ms that 3000 img/s requires; the measured step sits at
+        # ~1.0x the floor at measured bandwidth. The red gate is this
+        # HLO's dataflow, not scheduling slack.
+        "single_chip_floor_ms": (
+            92.7 if (args.model == "resnet50" and mode == "train"
+                     and projections == "standard" and batch == 256
+                     and on_tpu and args.kernels == "xla"
+                     and args.grad_accum == 1 and not args.scan)
+            else None
+        ),
         "scan": args.scan,
         "grad_accum": args.grad_accum,
         "space_to_depth": args.space_to_depth,
