@@ -17,6 +17,7 @@ equivalent — XLA handles layout at compile time.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -110,6 +111,12 @@ def conv2d(
             reference_padding(x.shape[hdim], kh, stride),
             reference_padding(x.shape[wdim], kw, stride),
         )
+    if (
+        _S2_PHASE_BWD and stride == 2 and groups == 1 and layout == "NHWC"
+        and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
+    ):
+        return _conv_s2_phase(x, w.astype(x.dtype), padding,
+                              _PRECISION[precision])
     return lax.conv_general_dilated(
         x,
         w.astype(x.dtype),
@@ -119,3 +126,103 @@ def conv2d(
         feature_group_count=groups,
         precision=_PRECISION[precision],
     )
+
+
+# Phase-plane stride-2 backward-data (round-4 verdict experiment #2b):
+# XLA expresses dgrad of a strided conv as an lhs_dilated (zero-stuffed)
+# convolution; this axis instead computes each of the 4 residue planes of
+# dx with a small dense stride-1 conv over dy (the forward phase trick of
+# kernels/fused_conv.py:248-288 applied to the backward) and interleaves
+# them with a reshape/transpose. Env-gated, parity-tested; measured
+# in-step on the chip (docs/backward_experiments_r4.json).
+_S2_PHASE_BWD = _os.environ.get("RESNET_TPU_S2_PHASE_BWD", "0") == "1"
+
+
+def _phase_bwd_data(dy, w, in_h, in_w, padding, precision):
+    """dx of conv2d(x, w, stride=2, padding) via 4 dense s1 convs on dy.
+
+    dx[n, 2ho+a, 2wo+b, ci] = sum_t,u dy[n, ho+t, wo+u] . k_ab[t, u]
+    with k_ab the (flipped, phase-gathered) taps w[a+p_lo-2t, b+q_lo-2u];
+    negative window padding crops dy where the tap range starts inside.
+    """
+    kh, kw, ci, co = w.shape
+    (p_lo, _p_hi), (q_lo, _q_hi) = padding
+    n = dy.shape[0]
+    ho2, wo2 = in_h // 2, in_w // 2
+
+    def taps(a, p, k):
+        # t-range with 0 <= i = a + p - 2t < k
+        t_lo = -((k - 1 - a - p) // 2)  # ceil((a+p-k+1)/2)
+        t_hi = (a + p) // 2
+        return t_lo, t_hi
+
+    planes = []
+    for a in (0, 1):
+        th_lo, th_hi = taps(a, p_lo, kh)
+        for b in (0, 1):
+            tw_lo, tw_hi = taps(b, q_lo, kw)
+            if th_hi < th_lo or tw_hi < tw_lo:
+                # no tap of the strided window ever lands on this residue
+                # (e.g. odd rows under a 1x1/s2 conv): dx plane is zero
+                planes.append(
+                    jnp.zeros((n, ho2, wo2, ci), dy.dtype)
+                )
+                continue
+            kern = jnp.stack(
+                [
+                    jnp.stack(
+                        [
+                            w[a + p_lo - 2 * (th_lo + th),
+                              b + q_lo - 2 * (tw_lo + tw)]
+                            for tw in range(tw_hi - tw_lo + 1)
+                        ],
+                        axis=0,
+                    )
+                    for th in range(th_hi - th_lo + 1)
+                ],
+                axis=0,
+            )  # (Th, Tw, ci, co)
+            planes.append(
+                lax.conv_general_dilated(
+                    dy,
+                    jnp.swapaxes(kern, 2, 3),  # contract over co
+                    window_strides=(1, 1),
+                    padding=((-th_lo, ho2 - 1 + th_hi - (dy.shape[1] - 1)),
+                             (-tw_lo, wo2 - 1 + tw_hi - (dy.shape[2] - 1))),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    precision=precision,
+                )
+            )
+    P = jnp.stack(planes, axis=-1)  # (n, Ho2, Wo2, ci, 4) [a*2+b]
+    P = P.reshape(n, ho2, wo2, ci, 2, 2)
+    dx = P.transpose(0, 1, 4, 2, 5, 3)
+    return dx.reshape(n, in_h, in_w, ci)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _conv_s2_phase(x, w, padding, precision):
+    return lax.conv_general_dilated(
+        x, w, window_strides=(2, 2), padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=precision,
+    )
+
+
+def _conv_s2_phase_fwd(x, w, padding, precision):
+    return _conv_s2_phase(x, w, padding, precision), (x, w)
+
+
+def _conv_s2_phase_bwd(padding, precision, res, dy):
+    x, w = res
+    dx = _phase_bwd_data(dy, w, x.shape[1], x.shape[2], padding, precision)
+    _, wgrad = jax.vjp(
+        lambda w_: lax.conv_general_dilated(
+            x, w_, window_strides=(2, 2), padding=padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=precision,
+        ),
+        w,
+    )
+    (dw,) = wgrad(dy)
+    return dx.astype(x.dtype), dw
+
+
+_conv_s2_phase.defvjp(_conv_s2_phase_fwd, _conv_s2_phase_bwd)

@@ -366,3 +366,45 @@ def test_1x1_stride2_dot_path_matches_lax_conv(rng):
         np.testing.assert_allclose(
             np.asarray(g1), np.asarray(g2), rtol=1e-6, atol=1e-6
         )
+
+
+def test_s2_phase_backward_matches_autodiff(rng, monkeypatch):
+    """Phase-plane stride-2 backward-data (RESNET_TPU_S2_PHASE_BWD,
+    round-4 backward experiment b): dx/dw through conv2d with the axis on
+    must match plain lax.conv autodiff for every s2 conv shape class the
+    models use (3x3 spatial, 1x1 and 3x3 projections, 7x7 stem) plus a
+    non-square weighted-cotangent case."""
+    import resnet_tpu.ops.conv as C
+
+    cases = [
+        (8, 3), (8, 1), (8, 7), (12, 3), (16, 5),
+    ]
+    for h, k in cases:
+        ci, co = 8, 16
+        x = jnp.asarray(rng.normal(0, 1, (2, h, h, ci)).astype(np.float32))
+        w = jnp.asarray(
+            rng.normal(0, 0.1, (k, k, ci, co)).astype(np.float32)
+        )
+        ct = jnp.asarray(
+            rng.normal(0, 1, (2, h // 2, h // 2, co)).astype(np.float32)
+        )
+
+        def loss(x_, w_):
+            y = C.conv2d(x_, w_, stride=2, layout="NHWC",
+                         precision="highest")
+            return jnp.vdot(y, ct)
+
+        monkeypatch.setattr(C, "_S2_PHASE_BWD", False)
+        y0 = C.conv2d(x, w, stride=2, layout="NHWC", precision="highest")
+        gx0, gw0 = jax.grad(loss, argnums=(0, 1))(x, w)
+        monkeypatch.setattr(C, "_S2_PHASE_BWD", True)
+        y1 = C.conv2d(x, w, stride=2, layout="NHWC", precision="highest")
+        gx1, gw1 = jax.grad(loss, argnums=(0, 1))(x, w)
+        monkeypatch.setattr(C, "_S2_PHASE_BWD", False)
+
+        np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
+                                   rtol=1e-6, atol=1e-6, err_msg=f"{h},{k}")
+        np.testing.assert_allclose(np.asarray(gx0), np.asarray(gx1),
+                                   rtol=1e-5, atol=1e-5, err_msg=f"{h},{k}")
+        np.testing.assert_allclose(np.asarray(gw0), np.asarray(gw1),
+                                   rtol=1e-5, atol=1e-5, err_msg=f"{h},{k}")

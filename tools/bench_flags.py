@@ -37,6 +37,21 @@ PRESETS = {
     },
     "no_rwb": {"xla_tpu_rwb_fusion": "false"},
     "no_multi_output": {"xla_tpu_enable_multi_output_fusion": "false"},
+    # --- backward-scheduling matrix (round-4 verdict item #2c): every
+    # scheduler libtpu 0.0.34 exposes, plus the compile-time autotuners.
+    # The roofline ledger (docs/step_roofline_r4.json) puts the step AT its
+    # HBM floor, so these can only shuffle overlap — the matrix commits
+    # the measured proof.
+    "sched_ilp": {"xla_tpu_enable_ilp_latency_hiding_scheduler": "true"},
+    "sched_brkga": {"xla_tpu_enable_brkga_latency_hiding_scheduler": "true"},
+    "sched_layer": {"xla_tpu_enable_latency_hiding_layer_scheduler": "true"},
+    "sched_all_experimental": {
+        "xla_tpu_enable_all_experimental_scheduler_features": "true"
+    },
+    "autotune_schedules": {"xla_tpu_autotune_schedules": "true"},
+    "autotune_msa": {"xla_tpu_autotune_memory_space_assignment": "true"},
+    "autotune_fusions": {"xla_tpu_autotune_fusions": "true"},
+    "lp_llo": {"xla_tpu_consider_lp_llo_scheduler": "true"},
 }
 
 
