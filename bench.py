@@ -12,9 +12,16 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 
 import jax
+
+if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+    # the build image's sitecustomize force-registers the tunneled TPU
+    # backend and resets jax_platforms at import; honor an explicit CPU ask
+    jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 
 BASELINE_IMG_PER_SEC_PER_CHIP = 3000.0
@@ -79,6 +86,20 @@ def main():
                          " (device-side loop, the shape of a real TPU input"
                          " pipeline) — isolates device throughput from"
                          " per-dispatch host/tunnel latency")
+    ap.add_argument("--data", default="synthetic",
+                    choices=["synthetic", "shards"],
+                    help="'shards': feed the step from the on-disk shard"
+                         " format through the native loader + prefetch"
+                         " ring + H2D — measures the COMPOSED pipeline"
+                         " (the overlap the reference conceded,"
+                         " resnet.cu:1233) instead of a device-resident"
+                         " batch. Reports prefetch-queue occupancy.")
+    ap.add_argument("--shard-dir", default="/tmp/resnet_tpu_bench_shards",
+                    help="with --data shards: dir of %%03d.images/.labels")
+    ap.add_argument("--transfer-dtype", default="bfloat16",
+                    choices=["float32", "bfloat16"],
+                    help="with --data shards: H2D image dtype (bfloat16"
+                         " halves transfer bytes; model casts anyway)")
     ap.add_argument("--no-dual", action="store_true",
                     help="skip the secondary reference-topology line (the"
                          " default run prints BOTH topologies, each line"
@@ -100,6 +121,7 @@ def main():
         not args.no_dual
         and not args.eval
         and not args.scan
+        and args.data == "synthetic"
         and args.model == "resnet50"
         and args.projections == "standard"
     ):
@@ -195,30 +217,81 @@ def run_bench(args, projections: str) -> dict:
             _, metrics = fn(state2, b)
             return state2, metrics
 
-    rng = np.random.default_rng(0)
-    images = jax.device_put(
-        rng.normal(0, 50, (batch, image_dim, image_dim, 3)).astype(np.float32)
-    )
-    labels = jax.device_put(
-        rng.integers(0, 1000, (batch,)).astype(np.int32)
-    )
-    b = {"images": images, "labels": labels}
+    occupancy = []
+    if args.data == "shards":
+        from resnet_tpu.data import ShardDataset
+        from resnet_tpu.data.native import NativeShardIterator, native_available
+        from resnet_tpu.data.prefetch import prefetch_to_device
+        from resnet_tpu.data.shards import ShardIterator
 
-    def run_n(state, n):
-        """n chained steps, synced by fetching the final loss value (the
-        tunneled TPU backend's block_until_ready is unreliable; a concrete
-        D2H value fetch is the only trustworthy barrier)."""
-        t0 = time.perf_counter()
-        metrics = None
-        for _ in range(n):
-            state, metrics = step(state, b)
-        _ = float(jax.device_get(metrics["loss"]))
-        return time.perf_counter() - t0, state
+        import os as _os
+
+        shard_files = sorted(
+            f for f in _os.listdir(args.shard_dir) if f.endswith(".images")
+        )
+        n_shards = len(shard_files)
+        per_shard = _os.path.getsize(
+            _os.path.join(args.shard_dir, shard_files[0])
+        ) // (4 * image_dim * image_dim * 3)
+        dataset = ShardDataset(
+            args.shard_dir, num_shards=n_shards, shard_images=per_shard,
+            image_dim=image_dim, channels=3, disk_layout="NCHW",
+        )
+        host_iter = (
+            NativeShardIterator(dataset, batch, layout="NHWC",
+                                prefetch_depth=4)
+            if native_available()
+            else ShardIterator(dataset, batch, layout="NHWC")
+        )
+        dev_iter = prefetch_to_device(
+            host_iter, depth=4,
+            transfer_dtype=(args.transfer_dtype
+                            if args.transfer_dtype != "float32" else None),
+        )
+
+        def next_batch():
+            b = next(dev_iter)
+            b.pop("cursor", None)
+            occupancy.append(dev_iter.qsize())
+            return b
+
+        def run_n(state, n):
+            t0 = time.perf_counter()
+            metrics = None
+            for _ in range(n):
+                state, metrics = step(state, next_batch())
+            _ = float(jax.device_get(metrics["loss"]))
+            return time.perf_counter() - t0, state
+
+    else:
+        rng = np.random.default_rng(0)
+        images = jax.device_put(
+            rng.normal(0, 50, (batch, image_dim, image_dim, 3)).astype(
+                np.float32
+            )
+        )
+        labels = jax.device_put(
+            rng.integers(0, 1000, (batch,)).astype(np.int32)
+        )
+        b = {"images": images, "labels": labels}
+
+        def run_n(state, n):
+            """n chained steps, synced by fetching the final loss value
+            (the tunneled TPU backend's block_until_ready is unreliable; a
+            concrete D2H value fetch is the only trustworthy barrier)."""
+            t0 = time.perf_counter()
+            metrics = None
+            for _ in range(n):
+                state, metrics = step(state, b)
+            _ = float(jax.device_get(metrics["loss"]))
+            return time.perf_counter() - t0, state
 
     _, state = run_n(state, args.warmup)  # compile + warm
     n_small = max(2, args.steps // 4)
     t_small, state = run_n(state, n_small)
     t_big, state = run_n(state, args.steps)
+    if args.data == "shards" and hasattr(dev_iter, "stop"):
+        dev_iter.stop()
     # slope removes the constant device_get/dispatch overhead
     dt_per_step = (t_big - t_small) / (args.steps - n_small)
     if args.scan:
@@ -272,6 +345,18 @@ def run_bench(args, projections: str) -> dict:
         "grad_accum": args.grad_accum,
         "space_to_depth": args.space_to_depth,
         "platform": platform,
+        "data": args.data,
+        # shards mode: composed-pipeline observability. Occupancy is the
+        # device-ready queue depth sampled at each consume: pinned at max
+        # = loader outruns the step (step-bound); 0 = input-bound. On the
+        # tunneled build chip H2D moves only ~80MB/s, so the absolute
+        # img/s of this mode measures the TUNNEL, not a production host's
+        # PCIe/DMA — the committed artifact documents both numbers.
+        "prefetch_occupancy_mean": (
+            round(float(np.mean(occupancy)), 2) if occupancy else None
+        ),
+        "transfer_dtype": args.transfer_dtype if args.data == "shards"
+        else None,
     }
 
 

@@ -317,6 +317,12 @@ class DataConfig:
     # PCIe/interconnect traffic; the model casts to compute_dtype anyway.
     transfer_dtype: str = "float32"  # 'float32' | 'bfloat16'
     synthetic: bool = False  # generate random batches (bench/test mode)
+    # With synthetic: pre-stage this many distinct batches on device and
+    # cycle them with NO per-step host->device transfer. The soak/bench
+    # mode for tunneled or H2D-starved hosts: the step runs at full device
+    # cadence while checkpoints, logging, and the scheduler exercise the
+    # real production loop (0 = off: every synthetic batch transfers).
+    device_batches: int = 0
     # ImageFolder tree of raw JPEGs (online decode/augment pipeline);
     # overrides shard_dir when set.
     jpeg_dir: str = ""

@@ -90,6 +90,11 @@ class DevicePrefetcher:
                 pass
             self._thread.join(timeout=0.2)
 
+    def qsize(self) -> int:
+        """Current device-ready queue depth (bench observability: a full
+        queue means the loader outruns the step; 0 means input-bound)."""
+        return self._q.qsize()
+
     def __iter__(self):
         return self
 

@@ -52,6 +52,11 @@ def build_config(argv=None) -> tuple:
                     help="raw ImageFolder tree; online decode/augment path")
     ap.add_argument("--random-flip", action="store_true")
     ap.add_argument("--synthetic", action="store_true")
+    ap.add_argument("--device-batches", type=int, default=0,
+                    help="with --synthetic: pre-stage N distinct batches"
+                         " on device and cycle them (zero per-step H2D --"
+                         " full-cadence soak mode for transfer-starved"
+                         " hosts)")
     ap.add_argument("--shard-layout", default="NCHW", choices=["NHWC", "NCHW"])
     ap.add_argument("--layout", default="NHWC", choices=["NHWC", "NCHW"])
     ap.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
@@ -212,6 +217,7 @@ def build_config(argv=None) -> tuple:
             shard_images=args.shard_images,
             layout=args.shard_layout,
             transfer_dtype=args.transfer_dtype,
+            device_batches=args.device_batches,
             random_flip=args.random_flip,
             synthetic=args.synthetic or not (args.shard_dir or args.jpeg_dir),
         ),

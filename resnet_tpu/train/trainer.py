@@ -167,6 +167,31 @@ class Trainer:
         if self._dev_iter is not None:
             return self._dev_iter
         dcfg = self.cfg.data
+        if dcfg.synthetic and dcfg.device_batches > 0:
+            # device-resident rotation: K distinct synthetic batches staged
+            # once, zero per-step H2D — full-cadence soak mode for hosts
+            # whose transfer path (e.g. a tunneled chip) can't keep up
+            import itertools
+
+            sharding = None
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                sharding = NamedSharding(
+                    self.mesh, P(self.cfg.parallel.data_axis)
+                )
+            staged = []
+            it = iter(self._host_iter)
+            for _ in range(dcfg.device_batches):
+                b = next(it)
+                if sharding is not None:
+                    staged.append(
+                        {k: jax.device_put(v, sharding) for k, v in b.items()}
+                    )
+                else:
+                    staged.append(jax.tree.map(jax.device_put, b))
+            self._dev_iter = itertools.cycle(staged)
+            return self._dev_iter
         transfer = (
             dcfg.transfer_dtype if dcfg.transfer_dtype != "float32" else None
         )
@@ -331,7 +356,8 @@ class Trainer:
 
     def finalize(self):
         if self._dev_iter is not None:
-            self._dev_iter.stop()
+            if hasattr(self._dev_iter, "stop"):  # cycle() has no worker
+                self._dev_iter.stop()
             self._dev_iter = None
         if self.checkpointer is not None:
             self.checkpointer.close()  # drain pending writes (re-raises errors)

@@ -506,3 +506,32 @@ def test_trainer_async_checkpoint_and_resume_latest(tmp_path):
     )
     with pytest.raises(FileNotFoundError):
         Trainer(cfg3, use_mesh=False)
+
+
+def test_synthetic_device_batches_cycle():
+    """device_batches=K stages K distinct device-resident batches and
+    cycles them with no per-step transfer (the soak-mode input path)."""
+    import numpy as np
+
+    from resnet_tpu.config import (
+        DataConfig,
+        ExecutionConfig,
+        OptimizerConfig,
+        TrainConfig,
+        tiny_model_config,
+    )
+    from resnet_tpu.train import Trainer
+
+    cfg = TrainConfig(
+        model=tiny_model_config(),
+        execution=ExecutionConfig(),
+        optimizer=OptimizerConfig(),
+        data=DataConfig(batch_size=4, synthetic=True, device_batches=3),
+        checkpoint_dir="",
+    )
+    tr = Trainer(cfg, use_mesh=False)
+    it = tr._device_iter()
+    sums = [float(jnp.sum(next(it)["images"])) for _ in range(4)]
+    assert len({round(s, 3) for s in sums[:3]}) == 3, sums
+    assert sums[3] == sums[0]
+    tr.finalize()
