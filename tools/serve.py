@@ -16,9 +16,15 @@ train only, resnet.cu:3222-3429.)
                              "latency_ms": ...}
     GET  /healthz   -> {"ok": true}
 
-Batching note: the artifact's symbolic batch means any request batch size
-compiles once per distinct size; production front-ends should pad to a
-small set of bucket sizes.
+Batching: the artifact's symbolic batch compiles once per DISTINCT batch
+size, so the server pads every request up to the next bucket size
+(powers of two, capped at --max-bucket) and slices the logits back —
+bounded compile count no matter what batch sizes clients send
+(--no-bucketing restores exact-size compilation). Requests larger than
+the cap are split into cap-size chunks. The handler is threaded
+(ThreadingHTTPServer) and the compiled call is safe to invoke
+concurrently — concurrent requests queue on the device, exercised by
+tests/test_serve.py::test_concurrent_load.
 """
 
 from __future__ import annotations
@@ -30,6 +36,27 @@ import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
+
+
+def bucketed_call(served, x, max_bucket=64):
+    """Pad the batch to the next power-of-two bucket (<= max_bucket),
+    call, slice. Oversize batches are chunked at max_bucket so the server
+    compiles at most log2(max_bucket)+1 programs ever."""
+    n = x.shape[0]
+    if n > max_bucket:
+        parts = [
+            bucketed_call(served, x[i:i + max_bucket], max_bucket)
+            for i in range(0, n, max_bucket)
+        ]
+        return np.concatenate(parts, axis=0)
+    b = 1
+    while b < n:
+        b *= 2
+    if b > n:
+        x = np.concatenate(
+            [x, np.zeros((b - n,) + x.shape[1:], x.dtype)], axis=0
+        )
+    return np.asarray(served.call(x))[:n]
 
 
 def make_handler(served):
@@ -65,7 +92,10 @@ def make_handler(served):
                 return
             t0 = time.perf_counter()
             try:
-                logits = np.asarray(served.call(x))
+                if self.server.max_bucket:
+                    logits = bucketed_call(served, x, self.server.max_bucket)
+                else:
+                    logits = np.asarray(served.call(x))
             except Exception as e:
                 # shape parsed but the artifact rejected it (wrong trailing
                 # dims / rank that still reshaped) — answer, don't drop the
@@ -85,11 +115,13 @@ def make_handler(served):
     return Handler
 
 
-def serve(artifact_path: str, host: str = "127.0.0.1", port: int = 8000):
+def serve(artifact_path: str, host: str = "127.0.0.1", port: int = 8000,
+          max_bucket: int = 64):
     from resnet_tpu.export import load_inference
 
     served = load_inference(artifact_path)
     httpd = ThreadingHTTPServer((host, port), make_handler(served))
+    httpd.max_bucket = max_bucket  # 0 = exact-size compilation
     return httpd
 
 
@@ -98,8 +130,14 @@ def main():
     ap.add_argument("artifact")
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8000)
+    ap.add_argument("--max-bucket", type=int, default=64,
+                    help="pad requests up to power-of-two buckets capped"
+                         " here (bounded compile count); 0 disables")
+    ap.add_argument("--no-bucketing", dest="max_bucket",
+                    action="store_const", const=0)
     args = ap.parse_args()
-    httpd = serve(args.artifact, args.host, args.port)
+    httpd = serve(args.artifact, args.host, args.port,
+                  max_bucket=args.max_bucket)
     print(f"serving {args.artifact} on {args.host}:{httpd.server_address[1]}")
     httpd.serve_forever()
 
