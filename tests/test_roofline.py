@@ -1,0 +1,131 @@
+"""Unit tests for the roofline ledger's HLO parsing (tools/step_roofline).
+
+The ledger's conclusions (docs/step_roofline_r4.json) rest on two parsing
+primitives: tile-padded, memory-space-aware shape byte counts, and
+valid-tap convolution flop counts (XLA writes backward convs as
+big-window heavily-padded convolutions). The flop counts are checked
+against an INDEPENDENT oracle: a lax.conv of all-ones indicator tensors
+with the identical window config counts exactly the valid taps per
+output position.
+"""
+
+import sys
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax import lax
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+
+import step_roofline as R
+
+
+def test_shape_bytes_tiling_and_spaces():
+    cases = [
+        # plain layouts
+        ("f32[8,32,32,64]{3,2,1,0}", 8 * 32 * 32 * 64 * 4),
+        # bf16 (2,1)-packed: minor pads to 128 lanes, 2nd-minor to 16
+        ("bf16[256,56,56,64]{3,2,1,0:T(8,128)(2,1)}",
+         256 * 56 * 56 * 128 * 2),
+        # batch-minor permutation avoids the channel padding
+        ("bf16[256,56,56,64]{0,3,2,1:T(8,128)(2,1)}",
+         256 * 56 * 56 * 64 * 2),
+        ("f32[256,56,56,64]{3,2,1,0:T(8,128)}", 256 * 56 * 56 * 128 * 4),
+        ("bf16[256,7,7,2048]{3,2,1,0:T(8,128)(2,1)}",
+         256 * 8 * 7 * 2048 * 2),
+        ("f32[]", 4),
+        ("(bf16[2,2]{1,0}, f32[3]{0})", 2 * 2 * 2 + 3 * 4),
+        # VMEM/SMEM-resident buffers cost no HBM traffic
+        ("f32[1,1,64,64]{3,2,1,0:T(8,128)S(1)}", 0),
+        ("u32[]{:S(2)}", 0),
+        ("(f32[256]{0:T(256)}, f32[256]{0:T(256)S(1)})", 256 * 4),
+    ]
+    for text, want in cases:
+        assert R.shape_bytes(text) == want, text
+
+
+def _oracle_macs(I, K, stride, pad, lhs_dil, rhs_dil, cin, cout, batch):
+    """Valid MACs via indicator conv: ones-lhs (1,H,W,1) x ones-kernel
+    counts valid taps per output position."""
+    x = jnp.ones((1, I[0], I[1], 1), jnp.float32)
+    w = jnp.ones((K[0], K[1], 1, 1), jnp.float32)
+    y = lax.conv_general_dilated(
+        x, w, window_strides=stride, padding=pad,
+        lhs_dilation=lhs_dil, rhs_dilation=rhs_dil,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return int(np.sum(np.asarray(y))) * cin * cout * batch, y.shape
+
+
+@pytest.mark.parametrize("I,K,stride,pad,lhs_dil,rhs_dil", [
+    ((14, 14), (3, 3), (1, 1), ((1, 1), (1, 1)), (1, 1), (1, 1)),
+    ((14, 14), (3, 3), (2, 2), ((1, 0), (1, 0)), (1, 1), (1, 1)),
+    # dgrad of a stride-2 conv: input-dilated
+    ((7, 7), (3, 3), (1, 1), ((1, 2), (1, 2)), (2, 2), (1, 1)),
+    # wgrad: big window, heavy padding, rhs-dilated
+    ((28, 28), (14, 14), (1, 1), ((0, -1), (0, -1)), (1, 1), (2, 2)),
+    ((1, 1), (56, 56), (1, 1), ((55, 55), (55, 55)), (1, 1), (1, 1)),
+])
+def test_conv_flops_valid_taps_vs_indicator_oracle(
+    I, K, stride, pad, lhs_dil, rhs_dil
+):
+    cin, cout, batch = 8, 16, 4
+    macs, oshape = _oracle_macs(I, K, stride, pad, lhs_dil, rhs_dil,
+                                cin, cout, batch)
+    # synthesize the HLO line the tool would parse
+    def w(v):
+        return "x".join(str(t) for t in v)
+
+    win = [f"size={w(K)}"]
+    if stride != (1, 1):
+        win.append(f"stride={w(stride)}")
+    win.append(f"pad={pad[0][0]}_{pad[0][1]}x{pad[1][0]}_{pad[1][1]}")
+    if lhs_dil != (1, 1):
+        win.append(f"lhs_dilate={w(lhs_dil)}")
+    if rhs_dil != (1, 1):
+        win.append(f"rhs_dilate={w(rhs_dil)}")
+    line = (
+        f"  %conv.1 = f32[{batch},{oshape[1]},{oshape[2]},{cout}]"
+        "{3,2,1,0} convolution(%lhs.1, %rhs.1), "
+        f"window={{{' '.join(win)}}}, dim_labels=b01f_01io->b01f"
+    )
+    shapes = {
+        "%lhs.1": f"f32[{batch},{I[0]},{I[1]},{cin}]{{3,2,1,0}}",
+        "%rhs.1": f"f32[{K[0]},{K[1]},{cin},{cout}]{{3,2,1,0}}",
+    }
+    got = R._conv_flops(line, shapes)
+    assert got == 2 * macs, (got, 2 * macs)
+
+
+def test_dot_flops():
+    line = ("  %dot.3 = f32[128,256]{1,0} dot(%a.1, %b.2), "
+            "lhs_contracting_dims={1}, rhs_contracting_dims={0}")
+    shapes = {"%a.1": "f32[128,512]{1,0}", "%b.2": "f32[512,256]{1,0}"}
+    assert R._dot_flops(line, shapes) == 2 * 128 * 256 * 512
+
+
+def test_start_done_accounting():
+    """copy-start counts src read + HBM dest write once; copy-done and
+    gtes are free; a VMEM-prefetch start costs only the HBM src read."""
+    txt = """
+HloModule m
+
+ENTRY %main (p0: f32[1024]) -> f32[1024] {
+  %p0 = f32[1024]{0:T(1024)} parameter(0)
+  %copy-start.1 = (f32[1024]{0:T(1024)S(1)}, f32[1024]{0:T(1024)}, u32[]{:S(2)}) copy-start(%p0)
+  %copy-done.1 = f32[1024]{0:T(1024)S(1)} copy-done(%copy-start.1)
+  %add.1 = f32[1024]{0:T(1024)} add(%copy-done.1, %copy-done.1)
+  ROOT %copy.9 = f32[1024]{0:T(1024)} copy(%add.1)
+}
+"""
+    rows = R.build_ledger(txt)
+    by = {r["name"]: r for r in rows}
+    # prefetch start: reads p0 from HBM (4KB); dest is VMEM (free)
+    assert by["copy-start.1"]["bytes"] == 4096
+    assert "copy-done.1" not in by  # free alias
+    # add reads VMEM operands (free), writes HBM output
+    assert by["add.1"]["bytes"] == 4096
+    assert by["copy.9"]["bytes"] == 8192  # HBM read + write

@@ -48,7 +48,7 @@ _DTYPE_BYTES = {
 }
 
 _SHAPE_RE = re.compile(
-    r"(\w+)\[([\d,]*)\](?:\{([\d,]+)"          # dtype [dims] {perm
+    r"(\w+)\[([\d,]*)\](?:\{([\d,]*)"          # dtype [dims] {perm
     r"(?::T\(([\dx,()]+)\)((?:\(\d+,\d+\))?))?"  # :T(tile)(pack)
     r"([^}]*)\})?"                                 # trailer (may hold S(k))
 )
