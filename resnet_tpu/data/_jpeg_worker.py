@@ -75,8 +75,22 @@ def decode_and_augment(
 
 def _decode_worker(task) -> np.ndarray:
     """Pool worker: decode one image to a uint8 crop (mean-subtract happens
-    vectorized in the parent — uint8 is 4x less pipe traffic)."""
+    vectorized in the parent — uint8 is 4x less pipe traffic).
+
+    Fast path: the native libjpeg decoder (csrc/jpeg_decode.cc, DCT-scaled
+    decode sized to the crop); PIL fallback for PNGs, corrupt files, or an
+    unbuilt library. Both paths draw the crop box with the same RNG
+    protocol, so the augmentation distribution is identical."""
     path, out_dim, train, seed = task
+    try:
+        from .native_jpeg import available, decode_and_augment_native
+
+        if available():
+            return decode_and_augment_native(
+                path, out_dim=out_dim, train=train, rng=random.Random(seed),
+            )
+    except (ValueError, OSError):
+        pass  # non-JPEG or decode failure: PIL handles it below
     return decode_and_augment(
         path, out_dim=out_dim, train=train, rng=random.Random(seed),
         subtract_means=False, dtype=np.uint8,

@@ -160,3 +160,75 @@ def test_prefetcher_stop(shard_dir):
     next(pre)
     pre.stop()
     assert not pre._thread.is_alive()
+
+
+def test_native_jpeg_decoder_matches_pil(tmp_path):
+    """csrc/jpeg_decode.cc vs the PIL path: same crop-box RNG protocol,
+    same geometry, resample differences bounded; flip is an exact mirror;
+    non-JPEG files fall back to PIL in the worker."""
+    import random
+
+    import numpy as np
+    from PIL import Image
+
+    from resnet_tpu.data import _jpeg_worker as W
+    from resnet_tpu.data import native_jpeg as N
+
+    if not N.available():
+        pytest.skip("libresnet_jpeg.so not built")
+
+    # smooth content: the tolerance then checks crop-box GEOMETRY
+    # alignment, not resample-kernel equality on noise
+    yy, xx = np.mgrid[0:240, 0:320].astype(np.float32)
+    arr = np.stack([
+        127 + 120 * np.sin(xx / 17.0),
+        127 + 120 * np.sin(yy / 23.0),
+        127 + 120 * np.sin((xx + yy) / 31.0),
+    ], axis=-1).clip(0, 255).astype(np.uint8)
+    jpg = str(tmp_path / "a.jpg")
+    Image.fromarray(arr).save(jpg, quality=92)
+
+    for train in (True, False):
+        nat = N.decode_and_augment_native(
+            jpg, out_dim=96, train=train, rng=random.Random(3)
+        )
+        pil = W.decode_and_augment(
+            jpg, out_dim=96, train=train, rng=random.Random(3),
+            subtract_means=False, dtype=np.uint8,
+        )
+        assert nat.shape == pil.shape == (96, 96, 3)
+        d = np.abs(nat.astype(np.int16) - pil.astype(np.int16))
+        # different resample kernels (PIL area-adaptive vs box+bilinear):
+        # bounded, not bitwise
+        assert d.mean() < 8, (train, d.mean())
+
+    # flip correctness: same box, flip toggled -> exact mirror. The box
+    # draw consumes the same RNG stream; force flip by monkeypatching the
+    # final coin via two seeds that share the box draw is fragile, so call
+    # the C layer directly.
+    import ctypes
+
+    lib = N._load()
+    data = open(jpg, "rb").read()
+    a = np.empty((96, 96, 3), np.uint8)
+    b = np.empty((96, 96, 3), np.uint8)
+    for flip, buf in ((0, a), (1, b)):
+        rc = lib.rtpu_decode_crop(
+            data, len(data), 96, 10, 20, 200, 180, flip,
+            buf.ctypes.data_as(ctypes.c_void_p),
+        )
+        assert rc == 0
+    np.testing.assert_array_equal(a, b[:, ::-1])
+
+    # worker fallback: PNG goes through PIL transparently
+    png = str(tmp_path / "b.png")
+    Image.fromarray(arr).save(png)
+    out = W._decode_worker((png, 96, True, 5))
+    assert out.shape == (96, 96, 3) and out.dtype == np.uint8
+
+    # determinism: same seed -> same bytes
+    x1 = N.decode_and_augment_native(jpg, out_dim=96, train=True,
+                                     rng=random.Random(9))
+    x2 = N.decode_and_augment_native(jpg, out_dim=96, train=True,
+                                     rng=random.Random(9))
+    np.testing.assert_array_equal(x1, x2)
