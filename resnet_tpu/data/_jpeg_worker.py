@@ -82,10 +82,12 @@ def _decode_worker(task) -> np.ndarray:
     unbuilt library. Both paths draw the crop box with the same RNG
     protocol, so the augmentation distribution is identical."""
     path, out_dim, train, seed = task
+    import os as _os
+
     try:
         from .native_jpeg import available, decode_and_augment_native
 
-        if available():
+        if available() and _os.environ.get("RESNET_TPU_JPEG_PIL") != "1":
             return decode_and_augment_native(
                 path, out_dim=out_dim, train=train, rng=random.Random(seed),
             )

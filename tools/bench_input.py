@@ -65,6 +65,12 @@ def emit(metric, value, unit="images/sec", **extra):
                       "unit": unit, **extra}))
 
 
+def _native_jpeg():
+    from resnet_tpu.data.native_jpeg import available
+
+    return available()
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dir", default="/tmp/resnet_tpu_bench_shards")
@@ -127,8 +133,17 @@ def main():
         jb = min(args.batch_size, 128)
         dsj = JpegDataset(jroot, jb, out_dim=args.dim, train=True)
         rate, _ = drain(dsj, min(args.batches, 8), jb, args.dim)
-        emit("jpeg_decode_pipeline_mp", rate)
+        emit("jpeg_decode_pipeline_mp", rate,
+             decoder="native" if _native_jpeg() else "pil")
         dsj.close()
+        if _native_jpeg():
+            # PIL-forced control: the native-vs-PIL A/B in one tool run
+            os.environ["RESNET_TPU_JPEG_PIL"] = "1"
+            dsp = JpegDataset(jroot, jb, out_dim=args.dim, train=True)
+            rate, _ = drain(dsp, min(args.batches, 8), jb, args.dim)
+            emit("jpeg_decode_pipeline_mp_pil_control", rate)
+            dsp.close()
+            del os.environ["RESNET_TPU_JPEG_PIL"]
         dst = JpegDataset(jroot, jb, out_dim=args.dim, train=True,
                           use_processes=False)
         rate, _ = drain(dst, min(args.batches, 8), jb, args.dim)
