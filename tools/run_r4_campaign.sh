@@ -18,6 +18,16 @@ want() {
 }
 STAGES="${*:-all}"
 
+# wait for the tunneled chip (outage-resilient start): probe with fresh
+# short-lived processes; a hung backend init cannot wedge the campaign
+echo "waiting for TPU... $(date +%H:%M)"
+while true; do
+  if timeout 50 python -c "import jax; d=jax.devices(); assert d[0].platform=='tpu'" 2>/dev/null; then
+    echo "TPU up $(date +%H:%M)"; break
+  fi
+  sleep 90
+done
+
 if want parity; then
   echo "== TPU parity (blockfused precision revalidation) $(date +%H:%M)"
   RESNET_TPU_TEST_PLATFORM=axon,cpu timeout 2400 \
