@@ -129,3 +129,47 @@ ENTRY %main (p0: f32[1024]) -> f32[1024] {
     # add reads VMEM operands (free), writes HBM output
     assert by["add.1"]["bytes"] == 4096
     assert by["copy.9"]["bytes"] == 8192  # HBM read + write
+
+
+def test_slice_start_counts_extent_not_source():
+    """An async VMEM slice prefetch reads only its slice EXTENT from the
+    HBM source. Charging the full operand overcounts a tensor prefetched
+    in N row-chunks N times — the bug that inflated the r4 ledger's
+    'other' category from 4.1GB to 9.3GB (docs/step_roofline_r4.json
+    provenance note)."""
+    txt = """
+HloModule m
+
+ENTRY %main (p0: bf16[256,14,14,1024]) -> bf16[256,4,14,1024] {
+  %p0 = bf16[256,14,14,1024]{3,0,2,1:T(8,128)(2,1)} parameter(0)
+  %slice-start.1 = ((bf16[256,14,14,1024]{3,0,2,1:T(8,128)(2,1)}), bf16[256,4,14,1024]{3,0,2,1:T(8,128)(2,1)S(1)}, s32[]{:S(2)}) async-start(%p0), calls=%async_computation.1
+  %slice-done.1 = bf16[256,4,14,1024]{3,0,2,1:T(8,128)(2,1)S(1)} async-done(%slice-start.1)
+  ROOT %neg.1 = bf16[256,4,14,1024]{3,0,2,1:T(8,128)(2,1)} negate(%slice-done.1)
+}
+"""
+    rows = R.build_ledger(txt)
+    by = {r["name"]: r for r in rows}
+    # slice extent (layout {3,0,2,1}: minor dims 1024,256 both
+    # tile-aligned -> logical bytes), NOT the 14-row source
+    extent = 256 * 4 * 14 * 1024 * 2
+    assert by["slice-start.1"]["bytes"] == extent
+    # destination is VMEM: no HBM write side
+    assert by["slice-start.1"]["out_bytes"] == 0
+    assert "slice-done.1" not in by
+
+
+def test_slice_start_vmem_source_is_free():
+    """A slice whose source already lives in VMEM moves no HBM bytes."""
+    txt = """
+HloModule m
+
+ENTRY %main (p0: f32[64,64]) -> f32[8,64] {
+  %p0 = f32[64,64]{1,0:T(8,128)S(1)} parameter(0)
+  %slice-start.7 = ((f32[64,64]{1,0:T(8,128)S(1)}), f32[8,64]{1,0:T(8,128)S(1)}, s32[]{:S(2)}) async-start(%p0), calls=%ac.7
+  %slice-done.7 = f32[8,64]{1,0:T(8,128)S(1)} async-done(%slice-start.7)
+  ROOT %neg.7 = f32[8,64]{1,0:T(8,128)} negate(%slice-done.7)
+}
+"""
+    rows = R.build_ledger(txt)
+    by = {r["name"]: r for r in rows}
+    assert by["slice-start.7"]["bytes"] == 0

@@ -42,6 +42,26 @@ if want bench; then
   cat "$LOG/bench_dual.json"
 fi
 
+if want roofline; then
+  echo "== roofline recapture (full sidecar: per-row ledger + HLO) $(date +%H:%M)"
+  timeout 2400 python tools/step_roofline.py \
+    --out docs/step_roofline_r4.json \
+    --rows-out docs/step_roofline_r4_rows.jsonl \
+    --hlo-out /root/r4_logs/step_hlo_b256.txt \
+    > "$LOG/roofline.log" 2>&1
+  tail -2 "$LOG/roofline.log"
+fi
+
+if want batchsweep; then
+  echo "== batch-size / accum spill sweep $(date +%H:%M)"
+  { for b in 128 192 256; do
+      timeout 900 python bench.py --batch-size $b --steps 16 --no-dual
+    done
+    timeout 900 python bench.py --batch-size 256 --grad-accum 2 --steps 16 --no-dual
+  } > "$LOG/batchsweep.jsonl" 2> "$LOG/batchsweep.err"
+  cat "$LOG/batchsweep.jsonl"
+fi
+
 if want phase; then
   echo "== phase-bwd experiment $(date +%H:%M)"
   timeout 6000 python tools/bench_phase_bwd.py > "$LOG/phase.log" 2>&1
@@ -88,7 +108,9 @@ fi
 if want fusedxla; then
   echo "== fusedxla roofline (long compile) $(date +%H:%M)"
   timeout 3600 python tools/step_roofline.py --kernels fusedxla \
-    --out docs/roofline_fusedxla_r4.json > "$LOG/fusedxla.log" 2>&1
+    --out docs/roofline_fusedxla_r4.json \
+    --rows-out docs/roofline_fusedxla_r4_rows.jsonl \
+    > "$LOG/fusedxla.log" 2>&1
   tail -3 "$LOG/fusedxla.log"
 fi
 

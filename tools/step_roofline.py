@@ -327,16 +327,32 @@ def build_ledger(txt):
         if op in _FREE_OPS:
             continue
         ops_names = _operands(l)
-        if op.endswith("-start"):
-            # async memory-space transfer: result tuple repeats the operand
-            # as an alias — count only the freshly-written destination part
-            # (copy-start: elem 0; slice/async-start: elem 1) plus the
-            # HBM-resident operand reads
-            idx = 0 if op == "copy-start" else 1
-            out_b = shape_bytes(_tuple_elem_shape(shape_text, idx))
+        if op == "copy-start":
+            # result tuple = (dest, src-alias, ctx): count the fresh dest
+            # write (elem 0) plus the HBM-resident operand read below
+            out_b = shape_bytes(_tuple_elem_shape(shape_text, 0))
+            in_b = sum(
+                shape_bytes(shapes[o]) for o in ops_names if o in shapes
+            )
+        elif op.endswith("-start"):
+            # async slice prefetch (VMEM operand staging): tuple =
+            # ((src-alias), dest, ctx). The READ touches only the slice
+            # EXTENT of the HBM source — charging the full source operand
+            # would overcount a tensor prefetched in N row-chunks N times.
+            # Read side = dest extent ignoring its memory space (the bytes
+            # still stream FROM HBM when the source lives there); write
+            # side = dest only if it is HBM-resident.
+            dest = _tuple_elem_shape(shape_text, 1)
+            out_b = shape_bytes(dest)
+            src_hbm = any(
+                shape_bytes(shapes[o]) > 0 for o in ops_names if o in shapes
+            )
+            in_b = shape_bytes(dest, hbm_only=False) if src_hbm else 0
         else:
             out_b = shape_bytes(shape_text)
-        in_b = sum(shape_bytes(shapes[o]) for o in ops_names if o in shapes)
+            in_b = sum(
+                shape_bytes(shapes[o]) for o in ops_names if o in shapes
+            )
         fl = 0
         if op == "convolution":
             fl = _conv_flops(l, shapes)
@@ -472,7 +488,26 @@ def main():
                     help="TFLOP/s override")
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--out", default="")
+    ap.add_argument("--rows-out", default="",
+                    help="write the FULL per-instruction ledger as JSONL"
+                         " (every pass, not just --top) for offline"
+                         " decomposition of e.g. the 'other' category")
+    ap.add_argument("--hlo-out", default="",
+                    help="save the optimized HLO text — lets the ledger be"
+                         " re-built offline (tunnel outages) without"
+                         " recompiling on the chip")
+    ap.add_argument("--hlo-in", default="",
+                    help="rebuild the ledger from a saved optimized-HLO"
+                         " text instead of compiling (no chip needed);"
+                         " pass --bw/--peak/--step-ms from the measured"
+                         " artifact, implies --no-measure")
+    ap.add_argument("--step-ms", type=float, default=0.0,
+                    help="previously measured step time (with --hlo-in)")
     args = ap.parse_args()
+
+    if args.hlo_in:
+        _main_from_hlo(args)
+        return
 
     import jax
 
@@ -521,10 +556,11 @@ def main():
     if isinstance(ca, list):
         ca = ca[0]
     txt = compiled.as_text()
+    if args.hlo_out:
+        with open(args.hlo_out, "w") as f:
+            f.write(txt)
+        print(f"wrote {args.hlo_out}", file=sys.stderr)
     rows = build_ledger(txt)
-
-    total_bytes = sum(r["bytes"] for r in rows)
-    total_flops = sum(r["flops"] for r in rows)
 
     bw = args.bw
     peak = args.peak
@@ -554,8 +590,65 @@ def main():
         t_small, state = run(state, n_small)
         t_big, state = run(state, args.steps)
         step_ms = (t_big - t_small) / (args.steps - n_small) * 1000
+
+    config = {
+        "model": "resnet50", "batch": batch, "dim": dim,
+        "dtype": "bfloat16", "engine": args.kernels,
+        "topology": args.projections, "space_to_depth": True,
+        "platform": jax.devices()[0].platform,
+    }
+    ca_dict = {
+        "flops": ca.get("flops"),
+        "bytes_accessed": ca.get("bytes accessed"),
+    }
+    _emit(rows, args, bw, peak, step_ms, config, ca_dict, bw_details)
+
+
+def _main_from_hlo(args):
+    """Offline mode: rebuild the ledger from a saved optimized-HLO text
+    (no chip, no compile). BW / peak / step_ms come from the measured
+    artifact the HLO was captured alongside."""
+    txt = open(args.hlo_in).read()
+    rows = build_ledger(txt)
+    config = {
+        "model": "resnet50", "batch": args.batch, "dim": args.dim,
+        "dtype": "bfloat16", "engine": args.kernels,
+        "topology": args.projections, "space_to_depth": True,
+        "platform": "offline-hlo", "hlo_in": args.hlo_in,
+    }
+    _emit(rows, args, args.bw, args.peak, args.step_ms or None, config,
+          {"flops": None, "bytes_accessed": None}, [])
+
+
+def _conclusion(step_ms, floor_ms, floor_ms_datasheet, target_ms):
+    if floor_ms_datasheet > target_ms:
+        return (
+            "step is at its roofline: the floor at DATASHEET bandwidth"
+            " (819 GB/s, never reached by any streaming microbenchmark on"
+            " this chip) already exceeds the step time the 3000 img/s"
+            " target requires — this HLO's HBM traffic forbids the target;"
+            " only traffic REMOVAL (a different dataflow) can reach it,"
+            " and docs/perf_ceiling_r2.md + docs/granularity_r3.md record"
+            " the measured negatives for every Pallas fusion granularity"
+            " on this stack"
+        )
+    if floor_ms > target_ms:
+        return (
+            "the floor at MEASURED bandwidth exceeds the target step time,"
+            " but the floor at datasheet bandwidth (819 GB/s) does not:"
+            " the gap is achievable-bandwidth-bound — the target becomes"
+            " reachable only if the real access patterns sustain more"
+            " GB/s than the streaming microbenchmark demonstrates"
+        )
+    return "floor leaves headroom below the target step time"
+
+
+def _emit(rows, args, bw, peak, step_ms, config, ca_dict, bw_details):
+    batch = config["batch"]
     bw = bw or 819.0  # v5e datasheet
     peak = peak or 197.0
+    total_bytes = sum(r["bytes"] for r in rows)
+    total_flops = sum(r["flops"] for r in rows)
 
     for r in rows:
         r["t_bytes_ms"] = r["bytes"] / bw / 1e6
@@ -585,24 +678,37 @@ def main():
     for c in by_cat.values():
         c["t_floor_ms"] = round(c["t_floor_ms"], 2)
 
+    # decompose the metadata-less 'other' category (copies / bitcasts /
+    # async transfers / spills) by HLO opcode so its 13ms-scale floor
+    # share is attributable, not a black box
+    other_by_op = {}
+    for r in rows:
+        if r["category"] != "other":
+            continue
+        c = other_by_op.setdefault(
+            r["op"], {"bytes": 0, "t_floor_ms": 0.0, "n": 0}
+        )
+        c["bytes"] += r["bytes"]
+        c["t_floor_ms"] += r["t_floor_ms"]
+        c["n"] += 1
+    for c in other_by_op.values():
+        c["t_floor_ms"] = round(c["t_floor_ms"], 2)
+
     rows.sort(key=lambda r: -r["t_floor_ms"])
+    top_other = [
+        {k: (round(v, 3) if isinstance(v, float) else v)
+         for k, v in r.items()}
+        for r in rows if r["category"] == "other"
+    ][: args.top // 2]
     out = {
-        "config": {
-            "model": "resnet50", "batch": batch, "dim": dim,
-            "dtype": "bfloat16", "engine": args.kernels,
-            "topology": args.projections, "space_to_depth": True,
-            "platform": jax.devices()[0].platform,
-        },
+        "config": config,
         "measured": {
             "step_ms": round(step_ms, 2) if step_ms else None,
             "hbm_bw_gbs": round(bw, 1),
-            "hbm_bw_patterns": bw_details if not args.no_measure else [],
+            "hbm_bw_patterns": bw_details,
             "matmul_peak_tflops": round(peak, 1),
         },
-        "cost_analysis": {
-            "flops": ca.get("flops"),
-            "bytes_accessed": ca.get("bytes accessed"),
-        },
+        "cost_analysis": ca_dict,
         "ledger": {
             "n_passes": len(rows),
             "total_hbm_bytes": total_bytes,
@@ -616,6 +722,8 @@ def main():
                      " bytes honor TPU tile layouts",
         },
         "by_category": by_cat,
+        "other_by_op": other_by_op,
+        "top_other_passes": top_other,
         # XLA:TPU's own classic cost model (backend_config estimated_cycles
         # per emitted fusion) — auxiliary: its absolute scale is pessimistic
         # (no DMA/compute overlap assumption), useful for relative ranking
@@ -631,19 +739,10 @@ def main():
         },
         "conclusion": {
             "target_step_ms_for_3000_img_s": round(batch / 3000.0 * 1000, 2),
-            "statement": (
-                "step is at its roofline: measured step within measurement"
-                " noise of the sum-of-max floor at measured BW, and the"
-                " floor at DATASHEET bandwidth (819 GB/s, never reached by"
-                " any streaming microbenchmark on this chip) already"
-                " exceeds the step time the 3000 img/s target requires —"
-                " this HLO's HBM traffic forbids the target; only traffic"
-                " REMOVAL (a different dataflow) can reach it, and"
-                " docs/perf_ceiling_r2.md + docs/granularity_r3.md record"
-                " the measured negatives for every Pallas fusion"
-                " granularity on this stack"
-            ) if step_ms and floor_ms_datasheet > batch / 3000.0 * 1000
-            else "floor leaves headroom below the target step time",
+            "statement": _conclusion(
+                step_ms, floor_ms, floor_ms_datasheet,
+                batch / 3000.0 * 1000
+            ),
         },
         "top_passes": [
             {k: (round(v, 3) if isinstance(v, float) else v)
@@ -651,6 +750,14 @@ def main():
             for r in rows[:args.top]
         ],
     }
+    if args.rows_out:
+        with open(args.rows_out, "w") as f:
+            for r in rows:
+                f.write(json.dumps(
+                    {k: (round(v, 4) if isinstance(v, float) else v)
+                     for k, v in r.items()}
+                ) + "\n")
+        print(f"wrote {args.rows_out} ({len(rows)} rows)", file=sys.stderr)
     js = json.dumps(out, indent=1)
     if args.out:
         with open(args.out, "w") as f:
