@@ -43,6 +43,14 @@ def build_config(argv=None) -> tuple:
     ap.add_argument("--epochs", type=int, default=40)  # resnet.cu:3291
     ap.add_argument("--steps", type=int, default=0,
                     help="train this many steps instead of full epochs")
+    ap.add_argument("--total-steps", type=int, default=0,
+                    help="LR-schedule horizon in GLOBAL steps. Pin this to"
+                         " the full planned run when resuming mid-training:"
+                         " --steps counts this invocation only, and a"
+                         " schedule rebuilt from it would decay on a"
+                         " different clock than the run being resumed"
+                         " (default: this invocation's --steps, or the"
+                         " epoch-derived horizon with --shard-dir)")
     ap.add_argument("--shard-dir", default="")
     ap.add_argument("--num-shards", type=int, default=0,
                     help="0 = count %%03d.images files in --shard-dir"
@@ -183,7 +191,7 @@ def build_config(argv=None) -> tuple:
 
         num_shards = len(_glob.glob(os.path.join(args.shard_dir, "*.images")))
     num_shards = num_shards or DataConfig().num_shards
-    total_steps = args.steps
+    total_steps = args.total_steps or args.steps
     if not total_steps and args.shard_dir:
         total_steps = args.epochs * (args.shard_images * num_shards // args.batch_size)
 

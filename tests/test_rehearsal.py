@@ -68,11 +68,20 @@ def test_recipe_rehearsal(imagefolder, tmp_path):
         "--random-flip",
         "--batch-size", "16",
         "--optimizer", "sgd",            # momentum 0.9 (OptimizerConfig)
-        "--lr", "0.1",
+        # the recipe's own linear-scaling rule: base lr 0.1 binds to batch
+        # 256 (docs/imagenet_76_recipe.md / Goyal et al.); at batch 16 the
+        # scaled lr is 0.1*16/256. Unscaled 0.1 over-drives this toy into
+        # oscillation and the learning assertion becomes a coin flip.
+        "--lr", "0.00625",
         "--weight-decay", "1e-4",
         "--wd-mask", "no_bn",
         "--label-smoothing", "0.1",
         "--schedule", "step",
+        # pin the schedule horizon across BOTH legs: --steps counts one
+        # invocation, and a horizon rebuilt from leg 2's "--steps 30"
+        # with the global step resuming at 30 would sit past every decay
+        # boundary from its first step (the bug this flag exists for)
+        "--total-steps", "75",
         "--warmup-steps", "10",
         "--checkpoint-dir", ckpt,
         "--log-every", "1",
