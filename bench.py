@@ -287,6 +287,10 @@ def run_bench(args, projections: str) -> dict:
             return time.perf_counter() - t0, state
 
     _, state = run_n(state, args.warmup)  # compile + warm
+    # drop queue-depth samples taken while the first step blocked on XLA
+    # compile (the loader fills the ring to max then) — only steady-state
+    # occupancy says whether the pipeline is input- or step-bound
+    occupancy.clear()
     n_small = max(2, args.steps // 4)
     t_small, state = run_n(state, n_small)
     t_big, state = run_n(state, args.steps)

@@ -14,6 +14,7 @@
 
 #include <csetjmp>
 #include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <vector>
 
@@ -103,7 +104,16 @@ int rtpu_decode_crop(const unsigned char* data, unsigned long len,
   ErrMgr jerr;
   cinfo.err = jpeg_std_error(&jerr.pub);
   jerr.pub.error_exit = err_exit;
+  // decode buffers are malloc'd (not std::vector): a libjpeg error
+  // longjmps back here, which would skip C++ destructors of any object
+  // whose lifetime began after setjmp — each corrupt image would leak
+  // its buffers in a long-lived worker. volatile pins the pointer values
+  // across the longjmp so the error path can free them.
+  unsigned char* volatile rowbuf = nullptr;
+  unsigned char* volatile cropbuf = nullptr;
   if (setjmp(jerr.jb)) {
+    std::free(rowbuf);
+    std::free(cropbuf);
     jpeg_destroy_decompress(&cinfo);
     return 1;
   }
@@ -145,16 +155,24 @@ int rtpu_decode_crop(const unsigned char* data, unsigned long len,
   const int rel_x = sx0 - (int)cx;         // crop offset inside the span
   if (sy0 > 0) jpeg_skip_scanlines(&cinfo, sy0);
 
-  std::vector<unsigned char> row(size_t(cwid) * 3);
-  std::vector<unsigned char> crop(size_t(scw) * sch * 3);
-  JSAMPROW rp[1] = {row.data()};
+  rowbuf = static_cast<unsigned char*>(std::malloc(size_t(cwid) * 3));
+  cropbuf = static_cast<unsigned char*>(std::malloc(size_t(scw) * sch * 3));
+  if (!rowbuf || !cropbuf) {
+    std::free(rowbuf);
+    std::free(cropbuf);
+    jpeg_destroy_decompress(&cinfo);
+    return 2;
+  }
+  JSAMPROW rp[1] = {rowbuf};
   for (int y = 0; y < sch; ++y) {
     jpeg_read_scanlines(&cinfo, rp, 1);
-    std::memcpy(crop.data() + size_t(y) * scw * 3,
-                row.data() + size_t(rel_x) * 3, size_t(scw) * 3);
+    std::memcpy(cropbuf + size_t(y) * scw * 3,
+                rowbuf + size_t(rel_x) * 3, size_t(scw) * 3);
   }
   jpeg_abort_decompress(&cinfo);  // rows below the crop are never decoded
   jpeg_destroy_decompress(&cinfo);
+  // no libjpeg calls (so no longjmp) past this point
+  unsigned char* crop = cropbuf;
 
   // anti-aliased two-stage resample: integer k x k box reduction while
   // the crop is >= 2x the target (PIL's BILINEAR downscale is
@@ -170,7 +188,7 @@ int rtpu_decode_crop(const unsigned char* data, unsigned long len,
         float acc[3] = {0, 0, 0};
         for (int dy = 0; dy < k; ++dy) {
           const unsigned char* r =
-              crop.data() + (size_t(y) * k + dy) * scw * 3 + size_t(x) * k * 3;
+              crop + (size_t(y) * k + dy) * scw * 3 + size_t(x) * k * 3;
           for (int dx = 0; dx < k; ++dx)
             for (int c = 0; c < 3; ++c) acc[c] += r[dx * 3 + c];
         }
@@ -180,8 +198,10 @@ int rtpu_decode_crop(const unsigned char* data, unsigned long len,
     }
     bilinear_resize(red.data(), rh, rw, out, out_dim, flip);
   } else {
-    bilinear_resize(crop.data(), sch, scw, out, out_dim, flip);
+    bilinear_resize(crop, sch, scw, out, out_dim, flip);
   }
+  std::free(rowbuf);
+  std::free(cropbuf);
   return 0;
 }
 

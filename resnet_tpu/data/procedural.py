@@ -44,9 +44,8 @@ class ProceduralDataset:
         for c in range(num_classes):
             fx, fy = rng.uniform(0.15, 1.2, 2)
             px, py = rng.uniform(0, 2 * np.pi, 2)
-            base = (
-                28.0 * np.sin(fx * xx + px) + 28.0 * np.sin(fy * yy + py)
-            )
+            gx = 40.0 * np.sin(fx * xx + px)
+            gy = 40.0 * np.sin(fy * yy + py)
             kind = c % 3
             cy, cx = rng.uniform(0.25, 0.75, 2) * d
             r = rng.uniform(0.12, 0.3) * d
@@ -58,11 +57,17 @@ class ProceduralDataset:
                 mask = (((xx + yy) // max(2, int(r / 2))) % 2 == 0) & (
                     ((yy - cy) ** 2 + (xx - cx) ** 2) < (1.8 * r) ** 2
                 )
-            img = base + 55.0 * mask.astype(np.float32)
+            # three channel COMPONENTS (x-grating, y-grating, shape) mixed
+            # by the class's 3x3 matrix — each output channel is a genuine
+            # linear combination of the structural components, so color is
+            # itself a class cue. (Columns are abs-normalized: amplitude
+            # stays at component scale regardless of the draw.)
+            comp = np.stack(
+                [gx, gy, 65.0 * mask.astype(np.float32)], axis=-1
+            ).astype(np.float32)
             mix = rng.uniform(-1.0, 1.0, (3, 3)).astype(np.float32)
             mix /= np.abs(mix).sum(axis=0, keepdims=True)
-            protos[c] = np.einsum("hw,cb->hwb", img.astype(np.float32),
-                                  np.eye(3, dtype=np.float32) @ mix)
+            protos[c] = np.einsum("hwc,cb->hwb", comp, mix)
         self.protos = protos
 
     def batch(self, labels: np.ndarray, instance_rng: np.random.Generator):

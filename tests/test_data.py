@@ -232,3 +232,60 @@ def test_native_jpeg_decoder_matches_pil(tmp_path):
     x2 = N.decode_and_augment_native(jpg, out_dim=96, train=True,
                                      rng=random.Random(9))
     np.testing.assert_array_equal(x1, x2)
+
+
+def test_native_jpeg_corrupt_input_errors_cleanly(tmp_path):
+    """Truncated/corrupt JPEGs must take the libjpeg longjmp error path
+    (csrc error handler frees the decode buffers) and report failure —
+    repeatedly, without crashing the worker process."""
+    import random
+
+    import numpy as np
+    from PIL import Image
+
+    from resnet_tpu.data import native_jpeg as N
+
+    if not N.available():
+        pytest.skip("libresnet_jpeg.so not built")
+
+    rng = np.random.default_rng(0)
+    arr = rng.integers(0, 255, (200, 300, 3), np.uint8)
+    good = str(tmp_path / "good.jpg")
+    Image.fromarray(arr).save(good, quality=90)
+    data = open(good, "rb").read()
+
+    # truncated mid-entropy-stream: libjpeg treats this as a WARNING
+    # (pads the missing rows) — it must decode without crashing, not
+    # error. Hard errors come from header corruption below.
+    bad = str(tmp_path / "bad.jpg")
+    with open(bad, "wb") as f:
+        f.write(data[: len(data) // 2])
+    out = N.decode_and_augment_native(bad, out_dim=64, train=True,
+                                      rng=random.Random(1))
+    assert out.shape == (64, 64, 3)
+
+    # garbage after a JPEG magic: jpeg_read_header calls error_exit ->
+    # longjmp; hammer it through both the dims entry point and the
+    # decode entry point (leak/crash regression for the error handler)
+    import ctypes
+
+    junk = str(tmp_path / "junk.jpg")
+    junk_bytes = b"\xff\xd8\xff" + bytes(rng.integers(0, 255, 512))
+    with open(junk, "wb") as f:
+        f.write(junk_bytes)
+    with pytest.raises(ValueError):
+        N.decode_and_augment_native(junk, out_dim=64, train=True,
+                                    rng=random.Random(1))
+    lib = N._load()
+    buf = np.empty((64, 64, 3), np.uint8)
+    for _ in range(50):
+        rc = lib.rtpu_decode_crop(
+            junk_bytes, len(junk_bytes), 64, 0, 0, 100, 100, 0,
+            buf.ctypes.data_as(ctypes.c_void_p),
+        )
+        assert rc != 0
+
+    # decoder still healthy afterwards
+    ok = N.decode_and_augment_native(good, out_dim=64, train=False,
+                                     rng=random.Random(1))
+    assert ok.shape == (64, 64, 3)

@@ -137,13 +137,17 @@ def main():
              decoder="native" if _native_jpeg() else "pil")
         dsj.close()
         if _native_jpeg():
-            # PIL-forced control: the native-vs-PIL A/B in one tool run
+            # PIL-forced control: the native-vs-PIL A/B in one tool run.
+            # finally-guarded so a failed control leg can't leave the
+            # PIL flag set and silently relabel later "native" rows.
             os.environ["RESNET_TPU_JPEG_PIL"] = "1"
-            dsp = JpegDataset(jroot, jb, out_dim=args.dim, train=True)
-            rate, _ = drain(dsp, min(args.batches, 8), jb, args.dim)
-            emit("jpeg_decode_pipeline_mp_pil_control", rate)
-            dsp.close()
-            del os.environ["RESNET_TPU_JPEG_PIL"]
+            try:
+                dsp = JpegDataset(jroot, jb, out_dim=args.dim, train=True)
+                rate, _ = drain(dsp, min(args.batches, 8), jb, args.dim)
+                emit("jpeg_decode_pipeline_mp_pil_control", rate)
+                dsp.close()
+            finally:
+                del os.environ["RESNET_TPU_JPEG_PIL"]
         dst = JpegDataset(jroot, jb, out_dim=args.dim, train=True,
                           use_processes=False)
         rate, _ = drain(dst, min(args.batches, 8), jb, args.dim)

@@ -163,9 +163,11 @@ def main():
             complete[d] = bool(meta)
         except Exception:
             complete[d] = False
+    # staging dirs are named "<id>.tmp-<pid>" (checkpoint.py); a kill -9
+    # mid-write leaves exactly that pattern behind
     partials = [
         d for d in os.listdir(args.dir)
-        if d.startswith(".") or d.endswith(".tmp")
+        if d.startswith(".") or ".tmp" in d
     ]
 
     def series(vals):
