@@ -4,6 +4,7 @@ from .mesh import (
     make_mesh_2d,
     replicate,
     shard_batch,
+    spatial_shard_batch,
 )
 from .data_parallel import make_shard_map_train_step
 from .distributed import host_batch_slice, initialize_distributed
@@ -14,6 +15,7 @@ __all__ = [
     "make_mesh_2d",
     "replicate",
     "shard_batch",
+    "spatial_shard_batch",
     "make_shard_map_train_step",
     "initialize_distributed",
     "host_batch_slice",

@@ -85,3 +85,30 @@ def shard_batch(batch, mesh: Mesh, axis: str = "data"):
 def replicate(tree, mesh: Mesh):
     sharding = NamedSharding(mesh, P())
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def spatial_shard_batch(
+    batch,
+    mesh: Mesh,
+    data_axis: str = "data",
+    spatial_axis: str = "spatial",
+):
+    """Place an NHWC batch with the image HEIGHT dim split over the
+    spatial mesh axis (and the batch dim over the data axis).
+
+    Spatial partitioning is how conv nets scale past per-chip memory when
+    the IMAGE (not the batch) is the big dimension — e.g. high-resolution
+    inputs where even batch 1 doesn't fit. The XLA SPMD partitioner
+    derives the halo exchanges every windowed op (conv, pooling) needs at
+    the shard seams and the cross-shard psums for BN's spatial moments;
+    nothing in the model changes. New capability vs the reference
+    (single-GPU, SURVEY 2.7); params stay replicated — shard them over
+    `data` separately if both levers are needed.
+    """
+    img = NamedSharding(mesh, P(data_axis, spatial_axis))
+    lbl = NamedSharding(mesh, P(data_axis))
+
+    def place(k, x):
+        return jax.device_put(x, img if getattr(x, "ndim", 0) >= 3 else lbl)
+
+    return {k: place(k, v) for k, v in batch.items()}

@@ -233,7 +233,8 @@ def eval_step(state: TrainState, batch, cfg: TrainConfig):
 
 
 def make_train_step(
-    cfg: TrainConfig, mesh=None, donate: bool = True, state_shardings=None
+    cfg: TrainConfig, mesh=None, donate: bool = True, state_shardings=None,
+    batch_shardings=None,
 ):
     """Jit the train step, optionally sharded over a device mesh.
 
@@ -242,7 +243,10 @@ def make_train_step(
     (the TPU-native replacement for the absent NCCL layer, SURVEY.md 2.7).
     state_shardings overrides the replicated state placement for composite
     meshes (e.g. parallel.composite_shardings: FC head tensor-parallel over
-    a 'model' axis) — the partitioner derives the matching collectives.
+    a 'model' axis); batch_shardings overrides the batch placement (e.g.
+    images P('data', 'spatial') for spatially-partitioned large-image
+    training, parallel.spatial_shard_batch) — the partitioner derives the
+    matching collectives (gradient psums, conv halo exchanges).
     """
     fn = functools.partial(train_step, cfg=cfg)
     kwargs: Dict[str, Any] = {}
@@ -256,7 +260,7 @@ def make_train_step(
 
         replicated = NamedSharding(mesh, P())
         state_sh = state_shardings if state_shardings is not None else replicated
-        batch_sharded = {
+        batch_sharded = batch_shardings if batch_shardings is not None else {
             "images": NamedSharding(mesh, P(cfg.parallel.data_axis)),
             "labels": NamedSharding(mesh, P(cfg.parallel.data_axis)),
         }
@@ -265,7 +269,7 @@ def make_train_step(
     return jax.jit(fn, **kwargs)
 
 
-def make_eval_step(cfg: TrainConfig, mesh=None):
+def make_eval_step(cfg: TrainConfig, mesh=None, batch_shardings=None):
     fn = functools.partial(eval_step, cfg=cfg)
     kwargs: Dict[str, Any] = {}
     copts = cfg.execution.jit_compiler_options()
@@ -275,7 +279,7 @@ def make_eval_step(cfg: TrainConfig, mesh=None):
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         replicated = NamedSharding(mesh, P())
-        batch_sharded = {
+        batch_sharded = batch_shardings if batch_shardings is not None else {
             "images": NamedSharding(mesh, P(cfg.parallel.data_axis)),
             "labels": NamedSharding(mesh, P(cfg.parallel.data_axis)),
         }
