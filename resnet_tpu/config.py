@@ -342,6 +342,12 @@ class ParallelConfig:
     data_axis: str = "data"
     num_devices: int = 0  # 0 = all available
     mode: str = "auto"  # 'auto' (pjit/NamedSharding) | 'shard_map'
+    # >1 splits the image HEIGHT over a second mesh axis (XLA SPMD derives
+    # the conv/pool halo exchanges + BN spatial psums) — the large-image
+    # lever for inputs where even batch 1 exceeds per-chip memory. 'auto'
+    # mode only.
+    spatial_devices: int = 1
+    spatial_axis: str = "spatial"
 
 
 # TrainConfig.resume_from sentinel: resume from the newest complete dump

@@ -49,13 +49,16 @@ class DevicePrefetcher:
                 jnp.dtype(self.transfer_dtype)
             )
         if self.sharding is not None:
+            # dict shardings are per-key (spatial batches: images carry an
+            # extra spec axis labels can't); unknown keys go to the default
+            # device
             out = {
                 k: jax.device_put(
                     v,
-                    self.sharding[k]
-                    if isinstance(self.sharding, dict)
-                    else self.sharding,
+                    *([self.sharding[k]] if k in self.sharding else [])
                 )
+                if isinstance(self.sharding, dict)
+                else jax.device_put(v, self.sharding)
                 for k, v in batch.items()
             }
         else:
@@ -108,11 +111,14 @@ class DevicePrefetcher:
 
 
 def prefetch_to_device(source, *, depth: int = 2, mesh=None,
-                       data_axis: str = "data", transfer_dtype=None):
+                       data_axis: str = "data", transfer_dtype=None,
+                       batch_shardings=None):
     """Wrap a host batch iterator in a device prefetcher; with a mesh the
-    batch is sharded along the data axis."""
-    sharding = None
-    if mesh is not None:
+    batch is sharded along the data axis. batch_shardings (a per-key
+    sharding dict, e.g. images P('data','spatial')) overrides the
+    uniform data-axis placement."""
+    sharding = batch_shardings
+    if sharding is None and mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         sharding = NamedSharding(mesh, P(data_axis))

@@ -114,6 +114,9 @@ def build_config(argv=None) -> tuple:
     ap.add_argument("--seed", type=int, default=1234)  # resnet.cu:3266
     ap.add_argument("--num-devices", type=int, default=0)
     ap.add_argument("--parallel-mode", default="auto", choices=["auto", "shard_map"])
+    ap.add_argument("--spatial-devices", type=int, default=1,
+                    help=">1 splits the image height over a second mesh"
+                         " axis (large-image training; 'auto' mode only)")
     ap.add_argument("--no-mesh", action="store_true",
                     help="force single-device even with multiple chips")
     ap.add_argument("--evaluate", action="store_true",
@@ -230,7 +233,8 @@ def build_config(argv=None) -> tuple:
             synthetic=args.synthetic or not (args.shard_dir or args.jpeg_dir),
         ),
         parallel=ParallelConfig(
-            num_devices=args.num_devices, mode=args.parallel_mode
+            num_devices=args.num_devices, mode=args.parallel_mode,
+            spatial_devices=args.spatial_devices
         ),
         seed=args.seed,
         epochs=args.epochs,

@@ -60,11 +60,41 @@ class Trainer:
         self.cfg = cfg
         if use_mesh is None:
             use_mesh = len(jax.devices()) > 1 or cfg.parallel.num_devices > 1
-        self.mesh = (
-            make_mesh(cfg.parallel.num_devices, cfg.parallel.data_axis)
-            if use_mesh
-            else None
-        )
+        pcfg = cfg.parallel
+        self._batch_shardings = None
+        if use_mesh and pcfg.spatial_devices > 1:
+            # (data x spatial) mesh: image H split over the spatial axis
+            if pcfg.mode == "shard_map":
+                raise ValueError(
+                    "spatial_devices > 1 requires parallel.mode='auto' "
+                    "(the SPMD partitioner derives the halo exchanges)"
+                )
+            nd = pcfg.num_devices or len(jax.devices())
+            if nd % pcfg.spatial_devices:
+                raise ValueError(
+                    f"{nd} devices not divisible by "
+                    f"spatial_devices={pcfg.spatial_devices}"
+                )
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel import make_mesh_2d
+
+            self.mesh = make_mesh_2d(
+                nd // pcfg.spatial_devices, pcfg.spatial_devices,
+                axes=(pcfg.data_axis, pcfg.spatial_axis),
+            )
+            self._batch_shardings = {
+                "images": NamedSharding(
+                    self.mesh, P(pcfg.data_axis, pcfg.spatial_axis)
+                ),
+                "labels": NamedSharding(self.mesh, P(pcfg.data_axis)),
+            }
+        else:
+            self.mesh = (
+                make_mesh(pcfg.num_devices, pcfg.data_axis)
+                if use_mesh
+                else None
+            )
 
         self.state = init_train_state(cfg)
         self.cursor = ShardCursor()
@@ -88,8 +118,12 @@ class Trainer:
         if self.mesh is not None and cfg.parallel.mode == "shard_map":
             self.train_step = make_shard_map_train_step(cfg, self.mesh)
         else:
-            self.train_step = make_train_step(cfg, self.mesh)
-        self.eval_step = make_eval_step(cfg, self.mesh)
+            self.train_step = make_train_step(
+                cfg, self.mesh, batch_shardings=self._batch_shardings
+            )
+        self.eval_step = make_eval_step(
+            cfg, self.mesh, batch_shardings=self._batch_shardings
+        )
 
         self._host_iter = data_source or self._build_data()
         self._dev_iter = None  # built lazily, shared across run() calls
@@ -173,8 +207,8 @@ class Trainer:
             # whose transfer path (e.g. a tunneled chip) can't keep up
             import itertools
 
-            sharding = None
-            if self.mesh is not None:
+            sharding = self._batch_shardings
+            if sharding is None and self.mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
                 sharding = NamedSharding(
@@ -185,9 +219,15 @@ class Trainer:
             for _ in range(dcfg.device_batches):
                 b = next(it)
                 if sharding is not None:
-                    staged.append(
-                        {k: jax.device_put(v, sharding) for k, v in b.items()}
-                    )
+                    staged.append({
+                        k: jax.device_put(
+                            v,
+                            sharding[k]
+                            if isinstance(sharding, dict)
+                            else sharding,
+                        )
+                        for k, v in b.items()
+                    })
                 else:
                     staged.append(jax.tree.map(jax.device_put, b))
             self._dev_iter = itertools.cycle(staged)
@@ -201,6 +241,7 @@ class Trainer:
             mesh=self.mesh,
             data_axis=self.cfg.parallel.data_axis,
             transfer_dtype=transfer,
+            batch_shardings=self._batch_shardings,
         )
         return self._dev_iter
 
@@ -293,6 +334,7 @@ class Trainer:
         it = prefetch_to_device(
             data, depth=self.cfg.data.prefetch, mesh=self.mesh,
             data_axis=self.cfg.parallel.data_axis,
+            batch_shardings=self._batch_shardings,
         )
         try:
             for _ in range(num_batches):

@@ -244,3 +244,76 @@ def test_spatial_partition_matches_single_device(rng):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
         )
+
+
+def test_trainer_spatial_devices_end_to_end(rng, tmp_path):
+    """ParallelConfig(spatial_devices=2) through the real Trainer: mesh
+    construction, per-key batch shardings in the prefetcher, train step,
+    and eval — metrics must match the plain data-parallel Trainer on the
+    same data stream."""
+    import itertools
+
+    from resnet_tpu.config import (
+        DataConfig,
+        ExecutionConfig,
+        OptimizerConfig,
+        ParallelConfig,
+        TrainConfig,
+        tiny_model_config,
+    )
+    from resnet_tpu.train import Trainer
+
+    d = tiny_model_config().input_dim
+    batches = [
+        {
+            "images": rng.normal(0, 50, (8, d, d, 3)).astype(np.float32),
+            "labels": rng.integers(0, 10, (8,)).astype(np.int32),
+        }
+        for _ in range(3)
+    ]
+
+    def cfg(spatial):
+        return TrainConfig(
+            model=tiny_model_config(),
+            execution=ExecutionConfig(),
+            optimizer=OptimizerConfig(name="sgd", learning_rate=1e-3),
+            data=DataConfig(batch_size=8, synthetic=True),
+            parallel=ParallelConfig(spatial_devices=spatial),
+            checkpoint_dir="",
+            log_every=0,
+        )
+
+    results = {}
+    for spatial in (1, 2):
+        tr = Trainer(cfg(spatial), data_source=itertools.cycle(batches))
+        if spatial > 1:
+            assert tr.mesh.axis_names == ("data", "spatial")
+            assert tr.mesh.shape["spatial"] == 2
+        m = tr.run(2)
+        ev = tr.evaluate(iter(batches), 2)
+        tr.finalize()
+        results[spatial] = (m["loss"], ev["loss"], ev["accuracy"])
+
+    a, b = results[1], results[2]
+    np.testing.assert_allclose(a[0], b[0], rtol=1e-4)
+    np.testing.assert_allclose(a[1], b[1], rtol=1e-4)
+    np.testing.assert_allclose(a[2], b[2], rtol=1e-6)
+
+
+def test_trainer_spatial_devices_rejects_shard_map():
+    from resnet_tpu.config import (
+        DataConfig,
+        ParallelConfig,
+        TrainConfig,
+        tiny_model_config,
+    )
+    from resnet_tpu.train import Trainer
+
+    cfg = TrainConfig(
+        model=tiny_model_config(),
+        data=DataConfig(batch_size=8, synthetic=True),
+        parallel=ParallelConfig(mode="shard_map", spatial_devices=2),
+        checkpoint_dir="",
+    )
+    with pytest.raises(ValueError, match="shard_map|auto"):
+        Trainer(cfg)
