@@ -348,6 +348,13 @@ class ParallelConfig:
     # mode only.
     spatial_devices: int = 1
     spatial_axis: str = "spatial"
+    # ZeRO-style: shard params + optimizer moments + BN state across the
+    # data axis (persistent copy sharded, SPMD all-gathers for compute) —
+    # per-chip state memory ~1/N. 'auto' mode only. Leaves smaller than
+    # zero_min_bytes stay replicated (a gather per tiny BN vector costs
+    # more latency than the bytes save).
+    zero_sharding: bool = False
+    zero_min_bytes: int = 2 ** 16
 
 
 # TrainConfig.resume_from sentinel: resume from the newest complete dump

@@ -5,6 +5,7 @@ from .mesh import (
     replicate,
     shard_batch,
     spatial_shard_batch,
+    zero_shardings,
 )
 from .data_parallel import make_shard_map_train_step
 from .distributed import host_batch_slice, initialize_distributed
@@ -16,6 +17,7 @@ __all__ = [
     "replicate",
     "shard_batch",
     "spatial_shard_batch",
+    "zero_shardings",
     "make_shard_map_train_step",
     "initialize_distributed",
     "host_batch_slice",

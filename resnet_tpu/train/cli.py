@@ -117,6 +117,10 @@ def build_config(argv=None) -> tuple:
     ap.add_argument("--spatial-devices", type=int, default=1,
                     help=">1 splits the image height over a second mesh"
                          " axis (large-image training; 'auto' mode only)")
+    ap.add_argument("--zero-sharding", action="store_true",
+                    help="shard params/optimizer state across the data"
+                         " axis (ZeRO-style, ~1/N state memory per chip;"
+                         " 'auto' mode only)")
     ap.add_argument("--no-mesh", action="store_true",
                     help="force single-device even with multiple chips")
     ap.add_argument("--evaluate", action="store_true",
@@ -234,7 +238,8 @@ def build_config(argv=None) -> tuple:
         ),
         parallel=ParallelConfig(
             num_devices=args.num_devices, mode=args.parallel_mode,
-            spatial_devices=args.spatial_devices
+            spatial_devices=args.spatial_devices,
+            zero_sharding=args.zero_sharding
         ),
         seed=args.seed,
         epochs=args.epochs,

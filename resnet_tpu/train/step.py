@@ -269,7 +269,8 @@ def make_train_step(
     return jax.jit(fn, **kwargs)
 
 
-def make_eval_step(cfg: TrainConfig, mesh=None, batch_shardings=None):
+def make_eval_step(cfg: TrainConfig, mesh=None, batch_shardings=None,
+                   state_shardings=None):
     fn = functools.partial(eval_step, cfg=cfg)
     kwargs: Dict[str, Any] = {}
     copts = cfg.execution.jit_compiler_options()
@@ -279,10 +280,11 @@ def make_eval_step(cfg: TrainConfig, mesh=None, batch_shardings=None):
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         replicated = NamedSharding(mesh, P())
+        state_sh = state_shardings if state_shardings is not None else replicated
         batch_sharded = batch_shardings if batch_shardings is not None else {
             "images": NamedSharding(mesh, P(cfg.parallel.data_axis)),
             "labels": NamedSharding(mesh, P(cfg.parallel.data_axis)),
         }
-        kwargs["in_shardings"] = (replicated, batch_sharded)
+        kwargs["in_shardings"] = (state_sh, batch_sharded)
         kwargs["out_shardings"] = replicated
     return jax.jit(fn, **kwargs)

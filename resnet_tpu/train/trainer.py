@@ -112,17 +112,33 @@ class Trainer:
                 cfg.checkpoint_dir, resume_from, self.state
             )
             print(f"resumed from dump {resume_from} at step {int(self.state.step)}")
-        if self.mesh is not None:
+        self._state_shardings = None
+        if self.mesh is not None and pcfg.zero_sharding:
+            if pcfg.mode == "shard_map":
+                raise ValueError(
+                    "zero_sharding requires parallel.mode='auto' (the SPMD"
+                    " partitioner derives the state all-gathers)"
+                )
+            from ..parallel import zero_shardings
+
+            self._state_shardings = zero_shardings(
+                self.state, self.mesh, axis=pcfg.data_axis,
+                min_bytes=pcfg.zero_min_bytes,
+            )
+            self.state = jax.device_put(self.state, self._state_shardings)
+        elif self.mesh is not None:
             self.state = replicate(self.state, self.mesh)
 
         if self.mesh is not None and cfg.parallel.mode == "shard_map":
             self.train_step = make_shard_map_train_step(cfg, self.mesh)
         else:
             self.train_step = make_train_step(
-                cfg, self.mesh, batch_shardings=self._batch_shardings
+                cfg, self.mesh, batch_shardings=self._batch_shardings,
+                state_shardings=self._state_shardings,
             )
         self.eval_step = make_eval_step(
-            cfg, self.mesh, batch_shardings=self._batch_shardings
+            cfg, self.mesh, batch_shardings=self._batch_shardings,
+            state_shardings=self._state_shardings,
         )
 
         self._host_iter = data_source or self._build_data()

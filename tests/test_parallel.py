@@ -317,3 +317,125 @@ def test_trainer_spatial_devices_rejects_shard_map():
     )
     with pytest.raises(ValueError, match="shard_map|auto"):
         Trainer(cfg)
+
+
+def test_zero_shardings_match_single_device(rng):
+    """ZeRO-style state sharding: params/moments sharded across 'data',
+    the partitioner all-gathers for compute — one step must reproduce
+    1-device numerics, and the big leaves must actually land sharded."""
+    from resnet_tpu.config import (
+        DataConfig,
+        ExecutionConfig,
+        OptimizerConfig,
+        TrainConfig,
+        tiny_model_config,
+    )
+    from resnet_tpu.parallel import make_mesh, zero_shardings
+    from resnet_tpu.train import init_train_state, make_train_step
+
+    mesh = make_mesh(8)
+    cfg = TrainConfig(
+        model=tiny_model_config(),
+        execution=ExecutionConfig(),
+        # SGD: the param delta is lr*grad, so tolerances compare gradients
+        # directly (Adam's first-step update is ~lr*sign(g), which flips
+        # on fp-reassociation noise — same rationale as the sibling tests)
+        optimizer=OptimizerConfig(name="sgd", learning_rate=1e-3),
+        data=DataConfig(batch_size=8, synthetic=True),
+    )
+    state = init_train_state(cfg)
+    shardings = zero_shardings(state, mesh, min_bytes=1024)
+
+    # at least the FC weight (and its momentum buffer) shard on a real axis
+    fc_spec = shardings.params["fc"]["w"].spec
+    assert "data" in fc_spec
+    assert shardings.opt_state.momentum_buf["fc"]["w"].spec == fc_spec
+    # scalars stay replicated
+    assert shardings.step.spec == jax.sharding.PartitionSpec()
+
+    d = cfg.model.input_dim
+    batch = {
+        "images": rng.normal(0, 50, (8, d, d, 3)).astype(np.float32),
+        "labels": rng.integers(0, cfg.model.num_classes, (8,)).astype(np.int32),
+    }
+    placed = jax.device_put(state, shardings)
+    step = make_train_step(cfg, mesh, donate=False, state_shardings=shardings)
+    new_state, metrics = step(placed, shard_batch(batch, mesh))
+    # state stays ZeRO-sharded across steps
+    assert new_state.params["fc"]["w"].sharding.spec == fc_spec
+
+    step1 = make_train_step(cfg, donate=False)
+    ref_state, ref_metrics = step1(state, batch)
+    np.testing.assert_allclose(
+        float(metrics["loss"]), float(ref_metrics["loss"]), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(metrics["grad_norm"]), float(ref_metrics["grad_norm"]), rtol=1e-4
+    )
+    for a, b in zip(
+        jax.tree.leaves(new_state.params), jax.tree.leaves(ref_state.params)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=2e-6
+        )
+
+
+def test_trainer_zero_sharding_end_to_end(rng, tmp_path):
+    """ParallelConfig(zero_sharding=True) through the real Trainer:
+    sharded persistent state, matching metrics, and a checkpoint
+    dump/resume round-trip of the ZeRO-sharded state."""
+    import itertools
+
+    from resnet_tpu.config import (
+        RESUME_LATEST,
+        DataConfig,
+        ExecutionConfig,
+        OptimizerConfig,
+        ParallelConfig,
+        TrainConfig,
+        tiny_model_config,
+    )
+    from resnet_tpu.train import Trainer
+
+    d = tiny_model_config().input_dim
+    batches = [
+        {
+            "images": rng.normal(0, 50, (8, d, d, 3)).astype(np.float32),
+            "labels": rng.integers(0, 10, (8,)).astype(np.int32),
+        }
+        for _ in range(3)
+    ]
+
+    def cfg(zero, resume=None):
+        return TrainConfig(
+            model=tiny_model_config(),
+            execution=ExecutionConfig(),
+            optimizer=OptimizerConfig(name="sgd", learning_rate=1e-3),
+            data=DataConfig(batch_size=8, synthetic=True),
+            parallel=ParallelConfig(zero_sharding=zero, zero_min_bytes=1024),
+            checkpoint_dir=str(tmp_path / ("z" if zero else "r")),
+            log_every=0,
+            resume_from=resume,
+        )
+
+    results = {}
+    for zero in (False, True):
+        tr = Trainer(cfg(zero), data_source=itertools.cycle(batches))
+        if zero:
+            spec = tr.state.params["fc"]["w"].sharding.spec
+            assert "data" in spec, f"FC weight not ZeRO-sharded: {spec}"
+        m = tr.run(2)
+        ev = tr.evaluate(iter(batches), 2)
+        tr.finalize()
+        results[zero] = (m["loss"], ev["loss"])
+
+    np.testing.assert_allclose(results[False][0], results[True][0], rtol=1e-4)
+    np.testing.assert_allclose(results[False][1], results[True][1], rtol=1e-4)
+
+    # resume the ZeRO run: restored state re-lands sharded and continues
+    tr = Trainer(cfg(True, resume=RESUME_LATEST),
+                 data_source=itertools.cycle(batches))
+    assert int(jax.device_get(tr.state.step)) == 2
+    assert "data" in tr.state.params["fc"]["w"].sharding.spec
+    tr.run(1)
+    tr.finalize()
