@@ -108,6 +108,32 @@ def main():
     if args.eval and args.scan:
         ap.error("--eval and --scan are mutually exclusive (the scan loop "
                  "drives the training step)")
+
+    # Bounded backend probe: a dead TPU tunnel makes jax.devices() hang
+    # FOREVER in-process (observed outage 2026-08-17, >6h). Probe from a
+    # fresh short-lived subprocess so an unavailable backend yields a
+    # self-describing failure line instead of a wedged bench.
+    if not os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        import subprocess
+        import sys
+
+        try:
+            subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=180, check=True,
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+            )
+        except (subprocess.TimeoutExpired, subprocess.CalledProcessError) as e:
+            print(json.dumps({
+                "metric": "resnet50_train_images_per_sec_per_chip",
+                "value": None,
+                "unit": "images/sec/chip",
+                "vs_baseline": None,
+                "error": f"device backend unavailable ({type(e).__name__}):"
+                         " TPU tunnel down; rerun when the chip is"
+                         " reachable",
+            }))
+            raise SystemExit(1)
     if args.int8 and not args.eval:
         ap.error("--int8 is an inference mode; combine it with --eval "
                  "(int8 training is not a supported axis)")
@@ -291,7 +317,9 @@ def run_bench(args, projections: str) -> dict:
     # compile (the loader fills the ring to max then) — only steady-state
     # occupancy says whether the pipeline is input- or step-bound
     occupancy.clear()
-    n_small = max(2, args.steps // 4)
+    if args.steps < 2:
+        raise SystemExit("--steps must be >= 2 (slope needs two run sizes)")
+    n_small = min(max(2, args.steps // 4), args.steps - 1)
     t_small, state = run_n(state, n_small)
     t_big, state = run_n(state, args.steps)
     if args.data == "shards" and hasattr(dev_iter, "stop"):
