@@ -108,11 +108,17 @@ def main():
     if args.eval and args.scan:
         ap.error("--eval and --scan are mutually exclusive (the scan loop "
                  "drives the training step)")
+    if args.int8 and not args.eval:
+        ap.error("--int8 is an inference mode; combine it with --eval "
+                 "(int8 training is not a supported axis)")
 
-    # Bounded backend probe: a dead TPU tunnel makes jax.devices() hang
-    # FOREVER in-process (observed outage 2026-08-17, >6h). Probe from a
-    # fresh short-lived subprocess so an unavailable backend yields a
-    # self-describing failure line instead of a wedged bench.
+    # Bounded backend probe (after ALL argument validation, so usage
+    # mistakes still report instantly): a dead TPU tunnel makes
+    # jax.devices() hang FOREVER in-process (observed outage 2026-08-17,
+    # >6h). Probe from a fresh short-lived subprocess so an unavailable
+    # backend yields a self-describing failure line instead of a wedged
+    # bench; a crashing probe (broken install, not a dead tunnel) gets
+    # its stderr surfaced rather than mislabeled.
     if not os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
         import subprocess
         import sys
@@ -121,22 +127,26 @@ def main():
             subprocess.run(
                 [sys.executable, "-c", "import jax; jax.devices()"],
                 timeout=180, check=True,
-                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+                stdout=subprocess.DEVNULL, stderr=subprocess.PIPE,
+                text=True,
             )
-        except (subprocess.TimeoutExpired, subprocess.CalledProcessError) as e:
+        except subprocess.TimeoutExpired:
+            detail = ("backend init timed out: TPU tunnel down; rerun "
+                      "when the chip is reachable")
+        except subprocess.CalledProcessError as e:
+            detail = ("device probe crashed (NOT a tunnel timeout): "
+                      + (e.stderr or "").strip()[-400:])
+        else:
+            detail = None
+        if detail is not None:
             print(json.dumps({
                 "metric": "resnet50_train_images_per_sec_per_chip",
                 "value": None,
                 "unit": "images/sec/chip",
                 "vs_baseline": None,
-                "error": f"device backend unavailable ({type(e).__name__}):"
-                         " TPU tunnel down; rerun when the chip is"
-                         " reachable",
+                "error": detail,
             }))
             raise SystemExit(1)
-    if args.int8 and not args.eval:
-        ap.error("--int8 is an inference mode; combine it with --eval "
-                 "(int8 training is not a supported axis)")
 
     # Dual-topology default: one labeled line for the reference topology
     # (3x3/s2 projections, resnet.cu:770-797, ~2.3x projection FLOPs),

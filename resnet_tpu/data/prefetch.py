@@ -51,14 +51,14 @@ class DevicePrefetcher:
         if self.sharding is not None:
             # dict shardings are per-key (spatial batches: images carry an
             # extra spec axis labels can't); unknown keys go to the default
-            # device
+            # device (device_put(v, None) == device_put(v))
             out = {
                 k: jax.device_put(
                     v,
-                    *([self.sharding[k]] if k in self.sharding else [])
+                    self.sharding.get(k)
+                    if isinstance(self.sharding, dict)
+                    else self.sharding,
                 )
-                if isinstance(self.sharding, dict)
-                else jax.device_put(v, self.sharding)
                 for k, v in batch.items()
             }
         else:

@@ -4,6 +4,7 @@ from .mesh import (
     make_mesh_2d,
     replicate,
     shard_batch,
+    spatial_batch_specs,
     spatial_shard_batch,
     zero_shardings,
 )
@@ -16,6 +17,7 @@ __all__ = [
     "make_mesh_2d",
     "replicate",
     "shard_batch",
+    "spatial_batch_specs",
     "spatial_shard_batch",
     "zero_shardings",
     "make_shard_map_train_step",

@@ -124,14 +124,31 @@ def zero_shardings(state, mesh: Mesh, axis: str = "data",
     return jax.tree.map(assign, state)
 
 
+def spatial_batch_specs(
+    data_axis: str = "data",
+    spatial_axis: str = "spatial",
+    layout: str = "NHWC",
+):
+    """(images, labels) PartitionSpecs that split the image HEIGHT dim
+    over the spatial axis — H is dim 1 in NHWC, dim 2 in NCHW."""
+    if layout == "NHWC":
+        img = P(data_axis, spatial_axis)
+    elif layout == "NCHW":
+        img = P(data_axis, None, spatial_axis)
+    else:
+        raise ValueError(f"unknown layout {layout!r}")
+    return img, P(data_axis)
+
+
 def spatial_shard_batch(
     batch,
     mesh: Mesh,
     data_axis: str = "data",
     spatial_axis: str = "spatial",
+    layout: str = "NHWC",
 ):
-    """Place an NHWC batch with the image HEIGHT dim split over the
-    spatial mesh axis (and the batch dim over the data axis).
+    """Place a batch with the image HEIGHT dim split over the spatial
+    mesh axis (and the batch dim over the data axis).
 
     Spatial partitioning is how conv nets scale past per-chip memory when
     the IMAGE (not the batch) is the big dimension — e.g. high-resolution
@@ -142,8 +159,9 @@ def spatial_shard_batch(
     (single-GPU, SURVEY 2.7); params stay replicated — shard them over
     `data` separately if both levers are needed.
     """
-    img = NamedSharding(mesh, P(data_axis, spatial_axis))
-    lbl = NamedSharding(mesh, P(data_axis))
+    img_spec, lbl_spec = spatial_batch_specs(data_axis, spatial_axis, layout)
+    img = NamedSharding(mesh, img_spec)
+    lbl = NamedSharding(mesh, lbl_spec)
 
     def place(k, x):
         return jax.device_put(x, img if getattr(x, "ndim", 0) >= 3 else lbl)

@@ -62,6 +62,13 @@ class Trainer:
             use_mesh = len(jax.devices()) > 1 or cfg.parallel.num_devices > 1
         pcfg = cfg.parallel
         self._batch_shardings = None
+        if not use_mesh and (pcfg.spatial_devices > 1 or pcfg.zero_sharding):
+            # fail loudly: a user validating spatial/ZeRO configs must not
+            # get a silently-unsharded run
+            raise ValueError(
+                "spatial_devices/zero_sharding need a device mesh, but "
+                "use_mesh is off (single device or --no-mesh)"
+            )
         if use_mesh and pcfg.spatial_devices > 1:
             # (data x spatial) mesh: image H split over the spatial axis
             if pcfg.mode == "shard_map":
@@ -70,24 +77,47 @@ class Trainer:
                     "(the SPMD partitioner derives the halo exchanges)"
                 )
             nd = pcfg.num_devices or len(jax.devices())
+            n_data = nd // pcfg.spatial_devices
             if nd % pcfg.spatial_devices:
                 raise ValueError(
                     f"{nd} devices not divisible by "
                     f"spatial_devices={pcfg.spatial_devices}"
                 )
-            from jax.sharding import NamedSharding, PartitionSpec as P
+            # pre-check the shard math here, where the message can name
+            # the config knob — a bad device_put inside the prefetcher's
+            # worker thread says only 'not divisible'
+            if cfg.model.input_dim % pcfg.spatial_devices:
+                raise ValueError(
+                    f"input_dim {cfg.model.input_dim} not divisible by "
+                    f"spatial_devices={pcfg.spatial_devices}"
+                )
+            if cfg.data.batch_size % n_data:
+                raise ValueError(
+                    f"batch_size {cfg.data.batch_size} not divisible by "
+                    f"the data-axis size {n_data} "
+                    f"({nd} devices / spatial_devices={pcfg.spatial_devices})"
+                )
+            if jax.process_count() > 1:
+                raise NotImplementedError(
+                    "spatial_devices is single-controller for now: a "
+                    "multi-process run would place H-shards across hosts,"
+                    " which the host-local device_put path can't express"
+                )
+            from jax.sharding import NamedSharding
 
-            from ..parallel import make_mesh_2d
+            from ..parallel import make_mesh_2d, spatial_batch_specs
 
             self.mesh = make_mesh_2d(
-                nd // pcfg.spatial_devices, pcfg.spatial_devices,
+                n_data, pcfg.spatial_devices,
                 axes=(pcfg.data_axis, pcfg.spatial_axis),
             )
+            img_spec, lbl_spec = spatial_batch_specs(
+                pcfg.data_axis, pcfg.spatial_axis,
+                layout=cfg.execution.layout,
+            )
             self._batch_shardings = {
-                "images": NamedSharding(
-                    self.mesh, P(pcfg.data_axis, pcfg.spatial_axis)
-                ),
-                "labels": NamedSharding(self.mesh, P(pcfg.data_axis)),
+                "images": NamedSharding(self.mesh, img_spec),
+                "labels": NamedSharding(self.mesh, lbl_spec),
             }
         else:
             self.mesh = (
@@ -118,6 +148,15 @@ class Trainer:
                 raise ValueError(
                     "zero_sharding requires parallel.mode='auto' (the SPMD"
                     " partitioner derives the state all-gathers)"
+                )
+            if jax.process_count() > 1:
+                # checkpoint dumps device_get the state; leaves sharded
+                # across HOSTS are not fully addressable from one process.
+                # Fail at construction, not at the first periodic dump.
+                raise NotImplementedError(
+                    "zero_sharding is single-controller for now: multi-"
+                    "process checkpointing of cross-host-sharded state "
+                    "needs a process_allgather save path"
                 )
             from ..parallel import zero_shardings
 
@@ -233,12 +272,16 @@ class Trainer:
             staged = []
             it = iter(self._host_iter)
             for _ in range(dcfg.device_batches):
-                b = next(it)
+                b = dict(next(it))
+                # same contract as DevicePrefetcher._put: cursor is host
+                # bookkeeping (meaningless for a cycled staging set),
+                # unknown keys take the default placement
+                b.pop("cursor", None)
                 if sharding is not None:
                     staged.append({
                         k: jax.device_put(
                             v,
-                            sharding[k]
+                            sharding.get(k)
                             if isinstance(sharding, dict)
                             else sharding,
                         )

@@ -439,3 +439,52 @@ def test_trainer_zero_sharding_end_to_end(rng, tmp_path):
     assert "data" in tr.state.params["fc"]["w"].sharding.spec
     tr.run(1)
     tr.finalize()
+
+
+def test_spatial_specs_layout_aware_and_loud_failures():
+    """NCHW puts H at dim 2 (the spec must skip C); spatial/ZeRO configs
+    without a mesh, and indivisible dims, fail loudly at construction."""
+    from resnet_tpu.config import (
+        DataConfig,
+        ExecutionConfig,
+        ParallelConfig,
+        TrainConfig,
+        tiny_model_config,
+    )
+    from resnet_tpu.parallel import spatial_batch_specs
+    from resnet_tpu.train import Trainer
+
+    P = jax.sharding.PartitionSpec
+    assert spatial_batch_specs(layout="NHWC")[0] == P("data", "spatial")
+    assert spatial_batch_specs(layout="NCHW")[0] == P("data", None, "spatial")
+    with pytest.raises(ValueError, match="layout"):
+        spatial_batch_specs(layout="CHWN")
+
+    def cfg(**kw):
+        parallel = ParallelConfig(**kw.pop("parallel", {}))
+        return TrainConfig(
+            model=tiny_model_config(),
+            execution=ExecutionConfig(**kw.pop("execution", {})),
+            data=DataConfig(batch_size=kw.pop("batch", 8), synthetic=True),
+            parallel=parallel,
+            checkpoint_dir="",
+        )
+
+    # NCHW production path: the trainer's derived image spec skips C
+    tr = Trainer(
+        cfg(execution={"layout": "NCHW"}, parallel={"spatial_devices": 2}),
+        use_mesh=True,
+    )
+    assert tr._batch_shardings["images"].spec == P("data", None, "spatial")
+    tr.finalize()
+
+    # silently-unsharded runs are rejected
+    with pytest.raises(ValueError, match="mesh"):
+        Trainer(cfg(parallel={"spatial_devices": 2}), use_mesh=False)
+    with pytest.raises(ValueError, match="mesh"):
+        Trainer(cfg(parallel={"zero_sharding": True}), use_mesh=False)
+    # indivisible batch/dims get named-knob messages at construction
+    with pytest.raises(ValueError, match="batch_size"):
+        Trainer(cfg(batch=6, parallel={"spatial_devices": 2}), use_mesh=True)
+    with pytest.raises(ValueError, match="spatial_devices"):
+        Trainer(cfg(parallel={"spatial_devices": 3}), use_mesh=True)
