@@ -488,3 +488,55 @@ def test_spatial_specs_layout_aware_and_loud_failures():
         Trainer(cfg(batch=6, parallel={"spatial_devices": 2}), use_mesh=True)
     with pytest.raises(ValueError, match="spatial_devices"):
         Trainer(cfg(parallel={"spatial_devices": 3}), use_mesh=True)
+
+
+def test_grad_accum_composes_with_spatial_and_zero(rng):
+    """grad_accum's in-step microbatch scan must compose with spatial
+    batch sharding and ZeRO state sharding — same numerics as the plain
+    accumulated step."""
+    from resnet_tpu.config import (
+        DataConfig,
+        ExecutionConfig,
+        OptimizerConfig,
+        TrainConfig,
+        tiny_model_config,
+    )
+    from resnet_tpu.parallel import (
+        make_mesh,
+        make_mesh_2d,
+        replicate,
+        shard_batch,
+        spatial_shard_batch,
+        zero_shardings,
+    )
+    from resnet_tpu.train import init_train_state, make_train_step
+
+    cfg = TrainConfig(
+        model=tiny_model_config(),
+        execution=ExecutionConfig(grad_accum=2),
+        optimizer=OptimizerConfig(name="sgd", learning_rate=1e-3),
+        data=DataConfig(batch_size=8, synthetic=True),
+    )
+    state = init_train_state(cfg)
+    d = cfg.model.input_dim
+    batch = {
+        "images": rng.normal(0, 50, (8, d, d, 3)).astype(np.float32),
+        "labels": rng.integers(0, cfg.model.num_classes, (8,)).astype(np.int32),
+    }
+    _, ref = make_train_step(cfg, donate=False)(state, batch)
+    ref_loss = float(ref["loss"])
+
+    mesh_sp = make_mesh_2d(4, 2, axes=("data", "spatial"))
+    sp_batch = spatial_shard_batch(batch, mesh_sp)
+    step_sp = make_train_step(
+        cfg, mesh_sp, donate=False,
+        batch_shardings={k: v.sharding for k, v in sp_batch.items()},
+    )
+    _, m_sp = step_sp(replicate(state, mesh_sp), sp_batch)
+    np.testing.assert_allclose(float(m_sp["loss"]), ref_loss, rtol=1e-4)
+
+    mesh_z = make_mesh(8)
+    zsh = zero_shardings(state, mesh_z, min_bytes=1024)
+    step_z = make_train_step(cfg, mesh_z, donate=False, state_shardings=zsh)
+    _, m_z = step_z(jax.device_put(state, zsh), shard_batch(batch, mesh_z))
+    np.testing.assert_allclose(float(m_z["loss"]), ref_loss, rtol=1e-4)
