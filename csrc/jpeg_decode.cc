@@ -146,6 +146,11 @@ int rtpu_decode_crop(const unsigned char* data, unsigned long len,
   if (sy0 + sch > sh) sy0 = sh - sch < 0 ? 0 : sh - sch;
   if (scw > sw) scw = sw;
   if (sch > sh) sch = sh;
+  // the over-extent test above misses a still-negative origin when
+  // scw == sw+1 (then sx0+scw > sw is false for sx0 == -1): a negative
+  // origin would wrap in the unsigned JDIMENSION crop argument
+  if (sx0 < 0) sx0 = 0;
+  if (sy0 < 0) sy0 = 0;
 
   // partial decode (libjpeg-turbo API): restrict columns to the iMCU
   // span covering the crop, skip the rows above it, stop after it —

@@ -80,9 +80,11 @@ def _rrc_box(w, h, rng, out_dim, train):
         s = min(w, h)
         return (w - s) // 2, (h - s) // 2, s, s
     # eval: resize-short-256 + center-crop == center box of
-    # out_dim*min(w,h)/256 in source coords
+    # out_dim*min(w,h)/256 in source coords; clamp to the image so
+    # out_dim > 256 (box would exceed min(w,h), negative origin) keeps
+    # the native path instead of tripping libjpeg's crop bounds check
     s = min(w, h)
-    c = int(round(out_dim * s / 256.0))
+    c = min(int(round(out_dim * s / 256.0)), s)
     return (w - c) // 2, (h - c) // 2, c, c
 
 

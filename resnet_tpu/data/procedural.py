@@ -92,25 +92,42 @@ class ProceduralDataset:
 
 
 class ProceduralIterator:
-    """Infinite {'images','labels'} NHWC batch stream; train and eval use
-    DISJOINT deterministic rng streams (eval=True offsets the seed space),
-    so eval instances are never seen in training."""
+    """Infinite {'images','labels'} NHWC batch stream.
+
+    Stream derivation uses np.random.SeedSequence: the user seed spawns
+    two children — child 0 is the train stream, child 1 the eval stream —
+    so disjointness is a SeedSequence guarantee, not an ad-hoc arithmetic
+    offset with collidable ranges. Each BATCH gets its own child keyed by
+    its index, which makes the stream positional: `start_batch=k` (or
+    `skip(k)`) resumes exactly after batch k-1 in O(1), without replaying
+    k batches of rng draws — a resumed training run continues on fresh
+    instances instead of replaying the stream from position 0."""
 
     def __init__(self, dataset: ProceduralDataset, batch_size: int,
-                 *, seed: int = 0, evaluation: bool = False):
+                 *, seed: int = 0, evaluation: bool = False,
+                 start_batch: int = 0):
         self.ds = dataset
         self.batch_size = batch_size
-        stream = np.random.default_rng(
-            (seed + 1) * (2**31 if evaluation else 1) + 7
-        )
-        self._rng = stream
+        self._stream = np.random.SeedSequence(seed).spawn(2)[
+            1 if evaluation else 0
+        ]
+        self._i = start_batch
+
+    def skip(self, n_batches: int) -> None:
+        """Fast-forward past n_batches (O(1): batches are index-keyed)."""
+        self._i += n_batches
 
     def __iter__(self) -> Iterator:
         return self
 
     def __next__(self):
-        labels = self._rng.integers(
+        rng = np.random.default_rng(np.random.SeedSequence(
+            entropy=self._stream.entropy,
+            spawn_key=self._stream.spawn_key + (self._i,),
+        ))
+        self._i += 1
+        labels = rng.integers(
             0, self.ds.num_classes, self.batch_size
         ).astype(np.int32)
-        images = self.ds.batch(labels, self._rng)
+        images = self.ds.batch(labels, rng)
         return {"images": images, "labels": labels}

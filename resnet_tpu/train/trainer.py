@@ -69,6 +69,18 @@ class Trainer:
                 "spatial_devices/zero_sharding need a device mesh, but "
                 "use_mesh is off (single device or --no-mesh)"
             )
+        if (
+            (pcfg.spatial_devices > 1 or pcfg.zero_sharding)
+            and cfg.execution.kernels == "blockfused"
+        ):
+            # a pallas_call under a spatially/state-sharded pjit has no
+            # SPMD partitioning rule — fail with the config knobs named
+            # instead of an opaque partitioner/Mosaic compile error
+            raise ValueError(
+                "spatial_devices/zero_sharding are incompatible with "
+                "kernels='blockfused' (Pallas calls carry no SPMD "
+                "partitioning rule); use kernels='xla'"
+            )
         if use_mesh and pcfg.spatial_devices > 1:
             # (data x spatial) mesh: image H split over the spatial axis
             if pcfg.mode == "shard_map":

@@ -100,8 +100,12 @@ def main():
             resume_from=resume_from,
         )
 
-    def train_iter():
-        return ProceduralIterator(ds, args.batch, seed=1)
+    def train_iter(start_batch=0):
+        # start_batch: the stream is positional (index-keyed batches), so
+        # a resumed leg continues on FRESH instances after the restored
+        # step instead of replaying the stream from position 0
+        return ProceduralIterator(ds, args.batch, seed=1,
+                                  start_batch=start_batch)
 
     def eval_iter():
         return ProceduralIterator(ds, args.batch, seed=1, evaluation=True)
@@ -134,10 +138,13 @@ def main():
     del trainer
 
     # mid-run resume: a FRESH Trainer restores params/opt-state/step/
-    # schedule position from the latest dump and continues
+    # schedule position from the latest dump and continues — with the
+    # data stream fast-forwarded to the restored step (one batch/step)
+    resume_stream = train_iter()
     trainer = Trainer(cfg=make_cfg(resume_from=RESUME_LATEST),
-                      data_source=train_iter(), use_mesh=False)
+                      data_source=resume_stream, use_mesh=False)
     resumed_step = int(jax.device_get(trainer.state.step))
+    resume_stream.skip(resumed_step)
     while done < args.steps:
         n = min(args.eval_every, args.steps - done)
         trainer.run(n)

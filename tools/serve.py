@@ -52,6 +52,9 @@ def bucketed_call(served, x, max_bucket=64):
     b = 1
     while b < n:
         b *= 2
+    # a non-power-of-two --max-bucket (e.g. 48) must not compile shapes
+    # above the advertised cap: the cap itself is the largest bucket
+    b = min(b, max_bucket)
     if b > n:
         x = np.concatenate(
             [x, np.zeros((b - n,) + x.shape[1:], x.dtype)], axis=0

@@ -596,6 +596,9 @@ def main():
         "dtype": "bfloat16", "engine": args.kernels,
         "topology": args.projections, "space_to_depth": True,
         "platform": jax.devices()[0].platform,
+        # binds the ledger (and the floor bench.py carries) to THIS HLO:
+        # a floor quoted against a different compile is detectably stale
+        "hlo_sha256": _sha256(txt),
     }
     ca_dict = {
         "flops": ca.get("flops"),
@@ -608,16 +611,28 @@ def _main_from_hlo(args):
     """Offline mode: rebuild the ledger from a saved optimized-HLO text
     (no chip, no compile). BW / peak / step_ms come from the measured
     artifact the HLO was captured alongside."""
-    txt = open(args.hlo_in).read()
+    if args.hlo_in.endswith(".gz"):
+        import gzip
+
+        txt = gzip.open(args.hlo_in, "rt").read()
+    else:
+        txt = open(args.hlo_in).read()
     rows = build_ledger(txt)
     config = {
         "model": "resnet50", "batch": args.batch, "dim": args.dim,
         "dtype": "bfloat16", "engine": args.kernels,
         "topology": args.projections, "space_to_depth": True,
         "platform": "offline-hlo", "hlo_in": args.hlo_in,
+        "hlo_sha256": _sha256(txt),
     }
     _emit(rows, args, args.bw, args.peak, args.step_ms or None, config,
           {"flops": None, "bytes_accessed": None}, [])
+
+
+def _sha256(txt: str) -> str:
+    import hashlib
+
+    return hashlib.sha256(txt.encode()).hexdigest()
 
 
 def _conclusion(step_ms, floor_ms, floor_ms_datasheet, target_ms):
