@@ -29,6 +29,10 @@ PRESETS = {
     "baseline": {},
     "vmem_64m": {"xla_tpu_scoped_vmem_limit_kib": "65536"},
     "vmem_32m": {"xla_tpu_scoped_vmem_limit_kib": "32768"},
+    # round-5: the r4 ledger attributes 2.4GB/step to 1661 copy-start
+    # spills — a larger scoped-VMEM budget lets memory-space assignment
+    # keep more operands resident instead of bouncing them through HBM
+    "vmem_96m": {"xla_tpu_scoped_vmem_limit_kib": "98304"},
     "lhs": {"xla_tpu_enable_latency_hiding_scheduler": "true"},
     "no_min_alloc": {"xla_tpu_enable_aggressive_instruction_fusion": "true"},
     "fusion_vmem": {
