@@ -54,16 +54,18 @@ _SHAPE_RE = re.compile(
 )
 
 
-def _parse_shape(text, pos=0, hbm_only=True):
+def _parse_shape(text, pos=0, hbm_only=True, padded=True):
     """Parse one (possibly tuple) shape; return (bytes, end).
 
     With hbm_only, buffers annotated into another memory space
     (S(1) = VMEM, S(2) = SMEM/sflag) count 0 bytes — they never touch HBM.
+    With padded=False, tile layouts are ignored (LOGICAL bytes) — the
+    padded-vs-logical delta is the tile-padding tax the audit reports.
     """
     if text[pos] == "(":
         total, p = 0, pos + 1
         while True:
-            b, p = _parse_shape(text, p, hbm_only)
+            b, p = _parse_shape(text, p, hbm_only, padded)
             total += b
             if text[p] == ",":
                 p += 1
@@ -83,7 +85,7 @@ def _parse_shape(text, pos=0, hbm_only=True):
     dims = [int(d) for d in dims_s.split(",")] if dims_s else []
     if not dims:
         return esize, m.end()
-    if perm_s and tile_s:
+    if perm_s and tile_s and padded:
         # physical order: perm lists minor-to-major LOGICAL dim indices
         perm = [int(d) for d in perm_s.split(",")]
         # first tile group only (e.g. "8,128" of "T(8,128)(2,1)"); nested
@@ -109,8 +111,8 @@ def _parse_shape(text, pos=0, hbm_only=True):
     return n * esize, m.end()
 
 
-def shape_bytes(text, hbm_only=True):
-    b, _ = _parse_shape(text, 0, hbm_only)
+def shape_bytes(text, hbm_only=True, padded=True):
+    b, _ = _parse_shape(text, 0, hbm_only, padded)
     return b
 
 
@@ -334,6 +336,12 @@ def build_ledger(txt):
             in_b = sum(
                 shape_bytes(shapes[o]) for o in ops_names if o in shapes
             )
+            log_b = shape_bytes(
+                _tuple_elem_shape(shape_text, 0), padded=False
+            ) + sum(
+                shape_bytes(shapes[o], padded=False)
+                for o in ops_names if o in shapes
+            )
         elif op.endswith("-start"):
             # async slice prefetch (VMEM operand staging): tuple =
             # ((src-alias), dest, ctx). The READ touches only the slice
@@ -348,10 +356,18 @@ def build_ledger(txt):
                 shape_bytes(shapes[o]) > 0 for o in ops_names if o in shapes
             )
             in_b = shape_bytes(dest, hbm_only=False) if src_hbm else 0
+            log_b = shape_bytes(dest, padded=False) + (
+                shape_bytes(dest, hbm_only=False, padded=False)
+                if src_hbm else 0
+            )
         else:
             out_b = shape_bytes(shape_text)
             in_b = sum(
                 shape_bytes(shapes[o]) for o in ops_names if o in shapes
+            )
+            log_b = shape_bytes(shape_text, padded=False) + sum(
+                shape_bytes(shapes[o], padded=False)
+                for o in ops_names if o in shapes
             )
         fl = 0
         if op == "convolution":
@@ -370,6 +386,7 @@ def build_ledger(txt):
             "op": op,
             "bytes": out_b + in_b,
             "out_bytes": out_b,
+            "logical_bytes": log_b,
             "flops": fl,
             "op_name": meta.group(1) if meta else "",
             "source": f"{src.group(1)}:{src.group(2)}" if src else "",
@@ -709,6 +726,43 @@ def _emit(rows, args, bw, peak, step_ms, config, ca_dict, bw_details):
     for c in other_by_op.values():
         c["t_floor_ms"] = round(c["t_floor_ms"], 2)
 
+    # tile-padding audit (round-4 verdict item #3c): padded-vs-logical
+    # HBM bytes — how much of the floor is the TPU tile tax (bf16
+    # T(8,128): a 64-channel tensor streams 2x its logical bytes), and
+    # where. Waste concentrated in one source site = a layout/channel
+    # choice worth changing; waste spread thin = irreducible.
+    total_logical = sum(r.get("logical_bytes", 0) for r in rows)
+    waste_by_src = {}
+    for r in rows:
+        w = r["bytes"] - r.get("logical_bytes", r["bytes"])
+        if w <= 0:
+            continue
+        key = r["source"] or r["op"]
+        e = waste_by_src.setdefault(
+            key, {"waste_bytes": 0, "padded_bytes": 0, "n": 0}
+        )
+        e["waste_bytes"] += w
+        e["padded_bytes"] += r["bytes"]
+        e["n"] += 1
+    top_waste = sorted(
+        ({"source": k, **v} for k, v in waste_by_src.items()),
+        key=lambda e: -e["waste_bytes"],
+    )[:12]
+    for e in top_waste:
+        e["waste_ms_at_bw"] = round(e["waste_bytes"] / bw / 1e6, 2)
+    padding_audit = {
+        "total_padded_bytes": total_bytes,
+        "total_logical_bytes": total_logical,
+        "padding_waste_bytes": total_bytes - total_logical,
+        "padding_waste_pct": round(
+            100.0 * (total_bytes - total_logical) / max(1, total_bytes), 2
+        ),
+        "padding_waste_floor_ms_at_bw": round(
+            (total_bytes - total_logical) / bw / 1e6, 2
+        ),
+        "top_waste_by_source": top_waste,
+    }
+
     rows.sort(key=lambda r: -r["t_floor_ms"])
     top_other = [
         {k: (round(v, 3) if isinstance(v, float) else v)
@@ -737,6 +791,7 @@ def _emit(rows, args, bw, peak, step_ms, config, ca_dict, bw_details):
                      " bytes honor TPU tile layouts",
         },
         "by_category": by_cat,
+        "padding_audit": padding_audit,
         "other_by_op": other_by_op,
         "top_other_passes": top_other,
         # XLA:TPU's own classic cost model (backend_config estimated_cycles
