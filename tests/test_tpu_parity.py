@@ -148,7 +148,9 @@ def test_block_fused_compiled_parity(rng_m):
     g1, b1 = jnp.ones((c,), jnp.float32), jnp.zeros((c,), jnp.float32)
     g2, b2 = jnp.full((c,), 1.1, jnp.float32), jnp.full((c,), 0.1, jnp.float32)
     g3, b3 = jnp.ones((c4,), jnp.float32), jnp.zeros((c4,), jnp.float32)
-    kw = dict(eps=1e-7, cap=10.0)
+    from resnet_tpu.ops.conv import _PRECISION
+
+    kw = dict(eps=1e-7, cap=10.0, prec=_PRECISION["default"])
     P = jax.jit(lambda *a: _block_fused_fwd_raw(*a, interpret=False, **kw))(
         x, w1, w2, w3, g1, b1, g2, b2, g3, b3
     )
