@@ -53,7 +53,7 @@ class DevicePrefetcher:
             # extra spec axis labels can't); unknown keys go to the default
             # device (device_put(v, None) == device_put(v))
             out = {
-                k: jax.device_put(
+                k: self._place(
                     v,
                     self.sharding.get(k)
                     if isinstance(self.sharding, dict)
@@ -66,6 +66,22 @@ class DevicePrefetcher:
         if cursor is not None:
             out["cursor"] = cursor
         return out
+
+    @staticmethod
+    def _place(v, sharding):
+        """device_put, or — when the sharding spans processes (multi-host
+        mesh) — assemble the GLOBAL batch from this host's local slice.
+        Each host feeds batch rows [i*per, (i+1)*per) of the global batch
+        (the host_batch_slice loader contract); the batch dim is the only
+        dim that differs between the local slice and the global array, so
+        the global shape is local with dim 0 scaled by process count."""
+        if sharding is None or sharding.is_fully_addressable:
+            return jax.device_put(v, sharding)
+        import numpy as np
+
+        v = np.asarray(v)
+        global_shape = (v.shape[0] * jax.process_count(),) + v.shape[1:]
+        return jax.make_array_from_process_local_data(sharding, v, global_shape)
 
     def _worker(self):
         try:

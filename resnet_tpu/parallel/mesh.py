@@ -83,8 +83,9 @@ def shard_batch(batch, mesh: Mesh, axis: str = "data"):
 
 
 def replicate(tree, mesh: Mesh):
-    sharding = NamedSharding(mesh, P())
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+    from .multihost import put_global
+
+    return put_global(tree, NamedSharding(mesh, P()))
 
 
 def zero_shardings(state, mesh: Mesh, axis: str = "data",

@@ -202,6 +202,7 @@ def save_checkpoint(
     *,
     metadata: Optional[Dict[str, Any]] = None,
     include_grads=None,
+    _barrier: bool = True,
 ):
     """Buffer-tree checkpoint in the reference schema.
 
@@ -212,16 +213,29 @@ def save_checkpoint(
     inside dump_trainer corrupts that dump id silently.)
     """
     final_root = dump_id_dir(dump_dir, dump_id)
+    # multi-process: every process joins the state all-gather (ZeRO leaves
+    # sharded across hosts are collected with a real collective —
+    # parallel.multihost.fetch_global), process 0 alone writes the files,
+    # and the barrier keeps any process from racing past an unpublished
+    # dump (e.g. a resume-latest probe on a shared filesystem)
+    from ..parallel.multihost import barrier, fetch_global
+
+    state = fetch_global(state)
+    if jax.process_index() != 0:
+        if _barrier:
+            barrier(f"ckpt-{dump_id}")
+        return final_root
     root = f"{final_root}.tmp-{os.getpid()}"
     if os.path.exists(root):
         shutil.rmtree(root)
     os.makedirs(root)
-    state = jax.device_get(state)
     try:
         _write_dump(root, final_root, state, cursor, metadata, include_grads)
     except BaseException:
         shutil.rmtree(root, ignore_errors=True)
         raise
+    if _barrier:
+        barrier(f"ckpt-{dump_id}")
     return final_root
 
 
@@ -290,10 +304,19 @@ class AsyncCheckpointer:
 
     def save(self, dump_dir, dump_id, state, cursor, **kwargs) -> str:
         self.wait()
-        host_state = jax.device_get(state)
+        # the cross-host gather is a COLLECTIVE: it must run here on the
+        # training thread (all processes reach save() at the same step,
+        # in lockstep), never on the writer thread where it would
+        # interleave with the next step's collectives. The worker then
+        # holds plain host arrays and skips the barrier — async publish
+        # ordering is enforced by wait() on the next save/close instead.
+        from ..parallel.multihost import fetch_global
+
+        host_state = fetch_global(state)
         cursor = copy.copy(cursor)
         self._pending = self._pool.submit(
-            save_checkpoint, dump_dir, dump_id, host_state, cursor, **kwargs
+            save_checkpoint, dump_dir, dump_id, host_state, cursor,
+            _barrier=False, **kwargs
         )
         return dump_id_dir(dump_dir, dump_id)
 

