@@ -173,3 +173,77 @@ ENTRY %main (p0: f32[64,64]) -> f32[8,64] {
     rows = R.build_ledger(txt)
     by = {r["name"]: r for r in rows}
     assert by["slice-start.7"]["bytes"] == 0
+
+
+def test_while_body_expanded_by_trip_count():
+    """A lax.scan (grad_accum) lowers to a while loop: the ledger must
+    charge the body's traffic once PER ITERATION (trip count inferred
+    from the condition's `compare(counter, constant N), direction=LT`)
+    and charge the while instruction itself nothing — its operand/result
+    carry is buffer-aliased in place. Before round 5 the parser saw only
+    entry instructions, silently uncounting the whole microbatch loop
+    (the dataflow that measured BELOW the accum=1 floor,
+    docs/accum_sweep_r5.jsonl)."""
+    txt = """
+HloModule m
+
+%cond.1 (c: (s32[], f32[1024])) -> pred[] {
+  %c = (s32[]{:T(128)}, f32[1024]{0:T(1024)}) parameter(0)
+  %gte.1 = s32[]{:T(128)} get-tuple-element(%c), index=0
+  %const.2 = s32[]{:T(128)} constant(2)
+  ROOT %lt.1 = pred[]{:T(128)} compare(%gte.1, %const.2), direction=LT
+}
+
+%body.1 (b: (s32[], f32[1024])) -> (s32[], f32[1024]) {
+  %b = (s32[]{:T(128)}, f32[1024]{0:T(1024)}) parameter(0)
+  %gte.2 = s32[]{:T(128)} get-tuple-element(%b), index=0
+  %gte.3 = f32[1024]{0:T(1024)} get-tuple-element(%b), index=1
+  %one.1 = s32[]{:T(128)} constant(1)
+  %next.1 = s32[]{:T(128)} add(%gte.2, %one.1)
+  %mul.1 = f32[1024]{0:T(1024)} multiply(%gte.3, %gte.3)
+  ROOT %tup.1 = (s32[]{:T(128)}, f32[1024]{0:T(1024)}) tuple(%next.1, %mul.1)
+}
+
+ENTRY %main (p0: (s32[], f32[1024])) -> (s32[], f32[1024]) {
+  %p0 = (s32[]{:T(128)}, f32[1024]{0:T(1024)}) parameter(0)
+  ROOT %while.1 = (s32[]{:T(128)}, f32[1024]{0:T(1024)}) while(%p0), condition=%cond.1, body=%body.1
+}
+"""
+    rows = R.build_ledger(txt)
+    by = {r["name"]: r for r in rows}
+    assert "while.1" not in by  # aliased carry: charged nothing itself
+    # body multiply(x, x): two operand reads + one write = 12KB per
+    # iteration (per-reference accounting, same convention as entry
+    # rows), x2 iterations
+    assert by["mul.1"]["bytes"] == (2 * 4096 + 4096) * 2
+    assert by["mul.1"]["loop"] == "while.1x2"
+
+
+def test_while_dynamic_bound_charged_once():
+    """No static trip count (condition isn't a counter-LT-constant):
+    charge the body once and mark the loop tag with '?'."""
+    txt = """
+HloModule m
+
+%cond.9 (c: (pred[], f32[1024])) -> pred[] {
+  %c = (pred[]{:T(128)}, f32[1024]{0:T(1024)}) parameter(0)
+  ROOT %gte.9 = pred[]{:T(128)} get-tuple-element(%c), index=0
+}
+
+%body.9 (b: (pred[], f32[1024])) -> (pred[], f32[1024]) {
+  %b = (pred[]{:T(128)}, f32[1024]{0:T(1024)}) parameter(0)
+  %gte.8 = pred[]{:T(128)} get-tuple-element(%b), index=0
+  %gte.7 = f32[1024]{0:T(1024)} get-tuple-element(%b), index=1
+  %mul.9 = f32[1024]{0:T(1024)} multiply(%gte.7, %gte.7)
+  ROOT %tup.9 = (pred[]{:T(128)}, f32[1024]{0:T(1024)}) tuple(%gte.8, %mul.9)
+}
+
+ENTRY %main (p0: (pred[], f32[1024])) -> (pred[], f32[1024]) {
+  %p0 = (pred[]{:T(128)}, f32[1024]{0:T(1024)}) parameter(0)
+  ROOT %while.9 = (pred[]{:T(128)}, f32[1024]{0:T(1024)}) while(%p0), condition=%cond.9, body=%body.9
+}
+"""
+    rows = R.build_ledger(txt)
+    by = {r["name"]: r for r in rows}
+    assert by["mul.9"]["bytes"] == 2 * 4096 + 4096
+    assert by["mul.9"]["loop"] == "while.9x?"

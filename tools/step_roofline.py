@@ -269,9 +269,12 @@ def _tuple_elem_shape(shape_text, idx):
 
 def parse_module(txt):
     """Split HLO text into computations; return (entry_lines, comp_flops,
-    entry_shapes) where comp_flops maps computation name -> conv/dot flops
-    inside it and entry_shapes maps %name -> shape text (entry only)."""
+    entry_shapes, comps) where comp_flops maps computation name ->
+    conv/dot flops inside it, entry_shapes maps %name -> shape text
+    (entry only), and comps maps every computation name -> (lines,
+    local_shapes) so while-loop bodies can be ledgered per iteration."""
     comp_flops = {}
+    comps = {}
     entry_lines = []
     cur_name, cur_lines = None, []
     shapes = {}  # per-computation local name -> shape text
@@ -301,7 +304,13 @@ def parse_module(txt):
     i = 0
     while i < len(lines):
         l = lines[i]
-        mh = re.match(r"(ENTRY\s+)?(%[\w.\-]+)\s*\([^)]*\)(?:\s*->\s*.*)?\s*\{", l)
+        # param list may nest parens (tuple-typed params, e.g. a while
+        # body's carry): allow one nesting level
+        mh = re.match(
+            r"(ENTRY\s+)?(%[\w.\-]+)\s*"
+            r"\((?:[^()]+|\([^()]*\))*\)(?:\s*->\s*.*)?\s*\{",
+            l,
+        )
         if mh:
             is_entry = bool(mh.group(1))
             name = mh.group(2)
@@ -311,17 +320,46 @@ def parse_module(txt):
                 body.append(lines[i])
                 i += 1
             local = finish(name, body)
+            comps[name] = (body, local)
             if is_entry:
                 entry_lines = body
                 entry_shapes = local
         i += 1
-    return entry_lines, comp_flops, entry_shapes
+    return entry_lines, comp_flops, entry_shapes, comps
+
+
+def _while_trip_count(cond_lines):
+    """Infer a while loop's static trip count from its condition
+    computation: the standard lax.scan lowering compares the induction
+    counter (init 0, +1 per iteration) against a scalar constant with
+    direction=LT. Returns None when the pattern doesn't match (dynamic
+    bound) — callers then charge the body once and flag the row."""
+    consts = {}
+    compare = None
+    for l in cond_lines:
+        m = re.match(r"\s*(ROOT\s+)?(%[\w.\-]+)\s*=\s*\S+\s+constant\((\d+)\)", l)
+        if m:
+            consts[m.group(2)] = int(m.group(3))
+        if " compare(" in l and "direction=LT" in l:
+            compare = l
+    if compare is None:
+        return None
+    for o in _operands(compare):
+        if o in consts:
+            return consts[o]
+    return None
 
 
 def build_ledger(txt):
-    entry_lines, comp_flops, shapes = parse_module(txt)
+    entry_lines, comp_flops, entry_shapes, comps = parse_module(txt)
     rows = []
-    for l in entry_lines:
+    _ledger_lines(entry_lines, entry_shapes, comp_flops, comps, rows,
+                  scale=1, loop="")
+    return rows
+
+
+def _ledger_lines(lines, shapes, comp_flops, comps, rows, scale, loop):
+    for l in lines:
         m = _INSTR_RE.match(l)
         if not m:
             continue
@@ -329,6 +367,28 @@ def build_ledger(txt):
         if op in _FREE_OPS:
             continue
         ops_names = _operands(l)
+        if op == "while":
+            # expand the body per iteration: the carry lives in place
+            # (XLA aliases the while operand/result buffers), so the real
+            # HBM traffic is the body's instructions x trip count — the
+            # while instruction itself is an alias, charged nothing.
+            # (grad_accum lowers lax.scan here; before round 5 the ledger
+            # saw only entry instructions and would silently uncount the
+            # whole microbatch loop.)
+            body_m = re.search(r"body=(%[\w.\-]+)", l)
+            cond_m = re.search(r"condition=(%[\w.\-]+)", l)
+            trip = None
+            if cond_m and cond_m.group(1) in comps:
+                trip = _while_trip_count(comps[cond_m.group(1)][0])
+            if body_m and body_m.group(1) in comps:
+                b_lines, b_shapes = comps[body_m.group(1)]
+                _ledger_lines(
+                    b_lines, b_shapes, comp_flops, comps, rows,
+                    scale=scale * (trip if trip else 1),
+                    loop=(loop + "/" if loop else "")
+                    + f"{name.lstrip('%')}x{trip if trip else '?'}",
+                )
+            continue
         if op == "copy-start":
             # result tuple = (dest, src-alias, ctx): count the fresh dest
             # write (elem 0) plus the HBM-resident operand read below
@@ -381,18 +441,20 @@ def build_ledger(txt):
         meta = re.search(r'op_name="([^"]*)"', l)
         cyc = re.search(r'"estimated_cycles":"(\d+)"', l)
         src = re.search(r'source_file="[^"]*/([^/"]+)" source_line=(\d+)', l)
-        rows.append({
+        row = {
             "name": name.lstrip("%"),
             "op": op,
-            "bytes": out_b + in_b,
-            "out_bytes": out_b,
-            "logical_bytes": log_b,
-            "flops": fl,
+            "bytes": (out_b + in_b) * scale,
+            "out_bytes": out_b * scale,
+            "logical_bytes": log_b * scale,
+            "flops": fl * scale,
             "op_name": meta.group(1) if meta else "",
             "source": f"{src.group(1)}:{src.group(2)}" if src else "",
             "xla_cycles": int(cyc.group(1)) if cyc else 0,
-        })
-    return rows
+        }
+        if loop:
+            row["loop"] = loop  # body row, already multiplied by trips
+        rows.append(row)
 
 
 def categorize(op_name, source=""):
@@ -495,6 +557,10 @@ def main():
     ap.add_argument("--dim", type=int, default=224)
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--kernels", default="xla")
+    ap.add_argument("--grad-accum", type=int, default=1,
+                    help="microbatch accumulation depth — r5 measured "
+                         "accum=2 BELOW the accum=1 ledger floor, so the "
+                         "ledger must be rebuildable for that dataflow")
     ap.add_argument("--projections", default="standard",
                     choices=["standard", "reference"])
     ap.add_argument("--no-measure", action="store_true",
@@ -552,6 +618,7 @@ def main():
         execution=ExecutionConfig(
             kernels=args.kernels, compute_dtype="bfloat16",
             matmul_precision="default", space_to_depth=True,
+            grad_accum=args.grad_accum,
         ),
         optimizer=OptimizerConfig(),
         data=DataConfig(batch_size=batch, synthetic=True),
