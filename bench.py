@@ -27,7 +27,8 @@ import numpy as np
 BASELINE_IMG_PER_SEC_PER_CHIP = 3000.0
 
 
-def _roofline_floor(model, mode, projections, batch, kernels):
+def _roofline_floor(model, mode, projections, batch, kernels,
+                    grad_accum=1):
     """Single-chip HBM-roofline floor for THIS config, read from the
     newest committed ledger artifact (docs/step_roofline*.json,
     tools/step_roofline.py) whose config matches. Returns None when no
@@ -50,6 +51,8 @@ def _roofline_floor(model, mode, projections, batch, kernels):
             and c.get("batch") == batch
             and c.get("topology") == projections
             and c.get("engine") == kernels
+            # ledgers predating the grad_accum axis modeled accum=1
+            and c.get("grad_accum", 1) == grad_accum
         ):
             continue
         led = d.get("ledger", {})
@@ -384,8 +387,9 @@ def run_bench(args, projections: str) -> dict:
     )
     metric = f"{args.model}_{mode}_images_per_sec_per_chip"
     floor = (
-        _roofline_floor(args.model, mode, projections, batch, args.kernels)
-        if (on_tpu and args.grad_accum == 1 and not args.scan)
+        _roofline_floor(args.model, mode, projections, batch, args.kernels,
+                        args.grad_accum)
+        if (on_tpu and not args.scan)
         else None
     )
     return {

@@ -679,6 +679,7 @@ def main():
         "model": "resnet50", "batch": batch, "dim": dim,
         "dtype": "bfloat16", "engine": args.kernels,
         "topology": args.projections, "space_to_depth": True,
+        "grad_accum": args.grad_accum,
         "platform": jax.devices()[0].platform,
         # binds the ledger (and the floor bench.py carries) to THIS HLO:
         # a floor quoted against a different compile is detectably stale
@@ -706,6 +707,7 @@ def _main_from_hlo(args):
         "model": "resnet50", "batch": args.batch, "dim": args.dim,
         "dtype": "bfloat16", "engine": args.kernels,
         "topology": args.projections, "space_to_depth": True,
+        "grad_accum": args.grad_accum,
         "platform": "offline-hlo", "hlo_in": args.hlo_in,
         "hlo_sha256": _sha256(txt),
     }
