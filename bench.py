@@ -80,7 +80,7 @@ def main():
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--remat", default="none")
-    ap.add_argument("--grad-accum", type=int, default=1,
+    ap.add_argument("--grad-accum", type=int, default=2,
                     help="microbatch count scanned inside the step (the"
                          " lowmem axis; measured at b256: 4.5x lower peak"
                          " temp memory at accum=8)")
@@ -146,6 +146,10 @@ def main():
                          " default run prints BOTH topologies, each line"
                          " self-describing; headline = last line)")
     args = ap.parse_args()
+    if args.eval:
+        # gradient accumulation is a training axis; normalize so the
+        # eval artifact doesn't carry a config field the run ignores
+        args.grad_accum = 1
     if args.eval and args.scan:
         ap.error("--eval and --scan are mutually exclusive (the scan loop "
                  "drives the training step)")
@@ -202,7 +206,15 @@ def main():
         and args.model == "resnet50"
         and args.projections == "standard"
     ):
-        result = run_bench(args, projections="reference")
+        # pin the secondary line to accum=1: it exists for cross-round /
+        # cross-topology comparability (r1-r4 measured it at accum=1),
+        # and re-deriving it at the flipped default would spend driver
+        # time on a fresh unmeasured compile
+        import copy
+
+        ref_args = copy.copy(args)
+        ref_args.grad_accum = 1
+        result = run_bench(ref_args, projections="reference")
         print(json.dumps(result))
     print(json.dumps(run_bench(args, projections=args.projections)))
 
