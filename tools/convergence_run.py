@@ -48,6 +48,10 @@ def main():
     ap.add_argument("--warmup", type=int, default=600)
     ap.add_argument("--eval-every", type=int, default=1000)
     ap.add_argument("--eval-batches", type=int, default=20)
+    ap.add_argument("--grad-accum", type=int, default=1,
+                    help="microbatch accumulation depth — run with 2 to"
+                         " validate training quality under the bench"
+                         " headline's microbatch dataflow")
     ap.add_argument("--resume-at", type=int, default=0,
                     help="0 = halfway: stop, rebuild the Trainer from"
                          " --resume-from latest, continue")
@@ -83,6 +87,7 @@ def main():
             ),
             execution=ExecutionConfig(
                 compute_dtype="bfloat16", matmul_precision="default",
+                grad_accum=args.grad_accum,
             ),
             optimizer=OptimizerConfig(
                 name="sgd", momentum=0.9,
@@ -164,6 +169,7 @@ def main():
         "config": {
             "model": args.model, "dim": args.dim, "classes": args.classes,
             "batch": args.batch, "dtype": "bfloat16",
+            "grad_accum": args.grad_accum,
             "recipe": "sgd momentum=0.9, lr={} linear-warmup {} steps, "
                       "step decay, wd 1e-4 no_bn mask, smoothing 0.1, "
                       "zero-gamma init, flip+translate augmentation, BN "
