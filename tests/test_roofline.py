@@ -219,6 +219,44 @@ ENTRY %main (p0: (s32[], f32[1024])) -> (s32[], f32[1024]) {
     assert by["mul.1"]["loop"] == "while.1x2"
 
 
+def test_tuple_index_comments_stripped():
+    """Real XLA dumps annotate wide tuples with /*index=N*/ comments;
+    the '=' inside them defeated the instruction regex's tuple-shape
+    alternative, silently dropping the while row (and with it the whole
+    scanned-body expansion) on the captured accum=2 HLO. The parser
+    must strip comments before matching."""
+    txt = """
+HloModule m
+
+%cond.3 (c: (s32[], f32[1024], f32[8])) -> pred[] {
+  %c = (s32[]{:T(128)}, f32[1024]{0:T(1024)}, f32[8]{0:T(128)}) parameter(0)
+  %gte.31 = s32[]{:T(128)} get-tuple-element(%c), index=0
+  %const.32 = s32[]{:T(128)} constant(3)
+  ROOT %lt.3 = pred[]{:T(128)} compare(%gte.31, %const.32), direction=LT
+}
+
+%body.3 (b: (s32[], f32[1024], f32[8])) -> (s32[], f32[1024], f32[8]) {
+  %b = (s32[]{:T(128)}, f32[1024]{0:T(1024)}, f32[8]{0:T(128)}) parameter(0)
+  %gte.33 = s32[]{:T(128)} get-tuple-element(%b), index=0
+  %gte.34 = f32[1024]{0:T(1024)} get-tuple-element(%b), index=1
+  %gte.35 = f32[8]{0:T(128)} get-tuple-element(%b), index=2
+  %one.3 = s32[]{:T(128)} constant(1)
+  %next.3 = s32[]{:T(128)} add(%gte.33, %one.3)
+  %mul.3 = f32[1024]{0:T(1024)} multiply(%gte.34, %gte.34)
+  ROOT %tup.3 = (s32[]{:T(128)}, f32[1024]{0:T(1024)}, /*index=2*/f32[8]{0:T(128)}) tuple(%next.3, %mul.3, %gte.35)
+}
+
+ENTRY %main (p0: (s32[], f32[1024], f32[8])) -> (s32[], f32[1024], f32[8]) {
+  %p0 = (s32[]{:T(128)}, f32[1024]{0:T(1024)}, f32[8]{0:T(128)}) parameter(0)
+  ROOT %while.3 = (s32[]{:T(128)}, f32[1024]{0:T(1024)}, /*index=2*/f32[8]{0:T(128)}) while(%p0), condition=%cond.3, body=%body.3
+}
+"""
+    rows = R.build_ledger(txt)
+    by = {r["name"]: r for r in rows}
+    assert by["mul.3"]["bytes"] == (2 * 4096 + 4096) * 3
+    assert by["mul.3"]["loop"] == "while.3x3"
+
+
 def test_while_dynamic_bound_charged_once():
     """No static trip count (condition isn't a counter-LT-constant):
     charge the body once and mark the loop tag with '?'."""

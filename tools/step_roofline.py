@@ -273,6 +273,10 @@ def parse_module(txt):
     conv/dot flops inside it, entry_shapes maps %name -> shape text
     (entry only), and comps maps every computation name -> (lines,
     local_shapes) so while-loop bodies can be ledgered per iteration."""
+    # strip /*index=N*/ element comments: the '=' inside them defeats the
+    # instruction regex's tuple-shape alternative (seen on the while
+    # carry's 436-element tuple), and no downstream parse needs them
+    txt = re.sub(r"/\*.*?\*/", "", txt)
     comp_flops = {}
     comps = {}
     entry_lines = []
@@ -304,13 +308,12 @@ def parse_module(txt):
     i = 0
     while i < len(lines):
         l = lines[i]
-        # param list may nest parens (tuple-typed params, e.g. a while
-        # body's carry): allow one nesting level
-        mh = re.match(
-            r"(ENTRY\s+)?(%[\w.\-]+)\s*"
-            r"\((?:[^()]+|\([^()]*\))*\)(?:\s*->\s*.*)?\s*\{",
-            l,
-        )
+        # computation headers sit at column 0 and end with '{'; the param
+        # list can nest parens arbitrarily deep (a while body's carry is a
+        # tuple of shapes whose layouts carry T(...)/S(...) annotations),
+        # so don't try to balance them — instruction lines are indented
+        # and can't false-match an anchored pattern
+        mh = re.match(r"(ENTRY\s+)?(%[\w.\-]+)\s*\(.*\{\s*$", l)
         if mh:
             is_entry = bool(mh.group(1))
             name = mh.group(2)
