@@ -83,7 +83,13 @@ def main():
     ap.add_argument("--grad-accum", type=int, default=2,
                     help="microbatch count scanned inside the step (the"
                          " lowmem axis; measured at b256: 4.5x lower peak"
-                         " temp memory at accum=8)")
+                         " temp memory at accum=8). Default 2 since r5:"
+                         " the microbatch-128 dataflow moves 4.2GB/step"
+                         " less HBM traffic, measured +4.5%% throughput")
+    ap.add_argument("--grad-accum-unroll", type=int, default=1,
+                    help="unroll factor for the accumulation scan"
+                         " (numerics-identical; full unroll removes the"
+                         " while-carry HBM round-trips)")
     ap.add_argument("--kernels", default="xla",
                     choices=["xla", "pallas", "fused", "hybrid", "fusedxla",
                              "blockfused"])
@@ -246,6 +252,7 @@ def run_bench(args, projections: str) -> dict:
             matmul_precision="default",
             remat=args.remat,
             grad_accum=args.grad_accum,
+            grad_accum_unroll=args.grad_accum_unroll,
             bn_mode=args.bn_mode,
             bn_stats_batch=args.bn_stats_batch,
             space_to_depth=args.space_to_depth,
@@ -401,7 +408,8 @@ def run_bench(args, projections: str) -> dict:
     floor = (
         _roofline_floor(args.model, mode, projections, batch, args.kernels,
                         args.grad_accum)
-        if (on_tpu and not args.scan)
+        # unroll != 1 is a different HLO than any committed ledger models
+        if (on_tpu and not args.scan and args.grad_accum_unroll == 1)
         else None
     )
     return {
@@ -439,6 +447,7 @@ def run_bench(args, projections: str) -> dict:
         "floor_provenance": floor,
         "scan": args.scan,
         "grad_accum": args.grad_accum,
+        "grad_accum_unroll": args.grad_accum_unroll,
         "space_to_depth": args.space_to_depth,
         "platform": platform,
         "data": args.data,

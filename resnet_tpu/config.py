@@ -200,6 +200,12 @@ class ExecutionConfig:
     # data-parallel run); running stats EMA-merge sequentially, exactly as
     # sequential smaller steps would. frozen/off BN are microbatch-exact.
     grad_accum: int = 1
+    # Unroll factor for the accumulation lax.scan (numerics-identical;
+    # changes only the lowered control flow). 1 = a real while loop
+    # (cheapest compile, aliased carry); grad_accum = fully unrolled
+    # straight-line HLO — candidate for removing the while-carry HBM
+    # round-trips the r5 ledger measured at +4.4 GB/step.
+    grad_accum_unroll: int = 1
     # Run Pallas kernels in interpreter mode (CPU testing); None = auto
     # (interpret unless running on real TPU).
     pallas_interpret: Optional[bool] = None
@@ -243,6 +249,12 @@ class ExecutionConfig:
             raise ValueError(
                 f"ExecutionConfig.grad_accum={self.grad_accum}; expected"
                 " a positive microbatch count"
+            )
+        if self.grad_accum_unroll < 1:
+            raise ValueError(
+                f"ExecutionConfig.grad_accum_unroll="
+                f"{self.grad_accum_unroll}; expected a positive unroll"
+                " factor"
             )
 
     def jit_compiler_options(self) -> dict:

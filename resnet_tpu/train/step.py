@@ -210,7 +210,8 @@ def _accum_grads(state: TrainState, batch, cfg: TrainConfig):
         state.bn_state,
     )
     (loss_sum, n_correct, grads, bn_state), _ = jax.lax.scan(
-        body, init, micro
+        body, init, micro,
+        unroll=min(cfg.execution.grad_accum_unroll, a),
     )
     return loss_sum, n_correct, grads, bn_state
 

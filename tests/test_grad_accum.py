@@ -132,3 +132,36 @@ def test_accum_validation():
     rng = np.random.default_rng(0)
     with pytest.raises(ValueError, match="not divisible"):
         make_train_step(cfg, donate=False)(state, batch_of(rng, cfg))
+
+
+def test_unroll_is_numerically_identical(rng):
+    """grad_accum_unroll changes only the lowered control flow (while
+    loop vs straight-line); the math — and therefore every metric and
+    updated parameter — must be IDENTICAL to the rolled scan."""
+    base = cfg_with(4)
+    cfg_unrolled = dataclasses.replace(
+        base,
+        execution=dataclasses.replace(base.execution, grad_accum_unroll=4),
+    )
+    state = init_train_state(base)
+    batch = batch_of(rng, base)
+
+    s_r, m_r = make_train_step(base, donate=False)(state, batch)
+    s_u, m_u = make_train_step(cfg_unrolled, donate=False)(state, batch)
+
+    for k in ("loss_sum", "accuracy", "grad_norm"):
+        np.testing.assert_array_equal(
+            np.asarray(m_r[k]), np.asarray(m_u[k]), err_msg=k
+        )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)
+        ),
+        s_r.params,
+        s_u.params,
+    )
+
+
+def test_unroll_validation():
+    with pytest.raises(ValueError, match="grad_accum_unroll"):
+        ExecutionConfig(grad_accum_unroll=0)
