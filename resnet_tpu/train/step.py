@@ -129,10 +129,13 @@ def _apply_optimizer(grads, state: TrainState, cfg: TrainConfig):
     return new_params, new_opt, lr
 
 
-def train_step(state: TrainState, batch, cfg: TrainConfig):
+def train_step(state: TrainState, batch, cfg: TrainConfig,
+               micro_shardings=None):
     """Pure train step: (state, batch) -> (new_state, metrics)."""
     if cfg.execution.grad_accum > 1:
-        loss_sum, n_correct, grads, new_bn = _accum_grads(state, batch, cfg)
+        loss_sum, n_correct, grads, new_bn = _accum_grads(
+            state, batch, cfg, micro_shardings
+        )
     else:
         (loss_sum, (logits, aux)), grads = jax.value_and_grad(
             _loss_fn, has_aux=True
@@ -169,14 +172,28 @@ def train_step(state: TrainState, batch, cfg: TrainConfig):
     return new_state, metrics
 
 
-def _accum_grads(state: TrainState, batch, cfg: TrainConfig):
+def _accum_grads(state: TrainState, batch, cfg: TrainConfig,
+                 micro_shardings=None):
     """Summed gradients over grad_accum microbatches via one device-side
     lax.scan: one microbatch's activations live at a time (the lowmem
     memory strategy, SURVEY.md appendix), while the summed-CE convention
     (resnet.cu:1806-1811) makes the accumulated gradient EXACTLY the
     full-batch gradient wherever the per-sample compute is batch-independent
     (frozen/off BN; with batch-stats BN the statistics sample is the
-    microbatch — see ExecutionConfig.grad_accum)."""
+    microbatch — see ExecutionConfig.grad_accum).
+
+    micro_shardings: optional {name: NamedSharding} for the RESHAPED
+    (accum, micro, ...) batch arrays. When the batch comes in with a
+    non-trivial input sharding (e.g. the spatially-partitioned
+    P('data','spatial') images), XLA's sharding propagation through the
+    microbatch reshape is not reliable: the partitioner can mis-derive
+    the scan body's conv filter-gradient partitioning and over-count
+    each microbatch's stem weight-grad contribution by the accumulation
+    factor (loss and every other leaf stay correct, which is why only a
+    grad-norm equivalence gate catches it). Pinning the reshaped arrays
+    to leading-dim-replicated versions of the input specs restores
+    1-device-exact numerics; make_train_step derives and threads these
+    automatically."""
     a = cfg.execution.grad_accum
     n = batch["labels"].shape[0]
     if n % a != 0:
@@ -186,9 +203,28 @@ def _accum_grads(state: TrainState, batch, cfg: TrainConfig):
     micro = jax.tree.map(
         lambda x: x.reshape((a, n // a) + x.shape[1:]), batch
     )
+    if micro_shardings is not None:
+        micro = {
+            k: jax.lax.with_sharding_constraint(
+                v, micro_shardings[k]["stacked"]
+            ) if k in micro_shardings else v
+            for k, v in micro.items()
+        }
     grad_fn = jax.value_and_grad(_loss_fn, has_aux=True)
 
     def body(carry, mb):
+        if micro_shardings is not None:
+            # Re-pin each scanned microbatch to the accum=1 batch
+            # shardings: this recreates, inside the scan body, exactly
+            # the partitioning environment of the (equivalence-tested)
+            # unaccumulated step, instead of trusting propagation
+            # through the scan slice.
+            mb = {
+                k: jax.lax.with_sharding_constraint(
+                    v, micro_shardings[k]["slice"]
+                ) if k in micro_shardings else v
+                for k, v in mb.items()
+            }
         loss_acc, correct_acc, grads_acc, bn_state = carry
         (loss_sum, (logits, aux)), grads = grad_fn(
             state.params, mb, bn_state, cfg
@@ -265,6 +301,49 @@ def make_train_step(
             "images": NamedSharding(mesh, P(cfg.parallel.data_axis)),
             "labels": NamedSharding(mesh, P(cfg.parallel.data_axis)),
         }
+        if cfg.execution.grad_accum > 1:
+            # Spatially-sharded inputs (image dims carrying a mesh axis)
+            # cannot be combined with in-step microbatch accumulation on
+            # this stack: jax 0.9.0's SPMD partitioner derives WRONG
+            # conv/BN gradient collectives for the microbatched body
+            # (stem filter-grad over-counted by the accumulation factor,
+            # BN beta grads under-reduced by the data-axis size — loss
+            # stays exact, only gradients corrupt; guard asserted in
+            # tests/test_parallel.py::
+            # test_grad_accum_composes_with_spatial_and_zero).
+            # Explicit sharding constraints on the reshaped stack, on
+            # the scanned slice, and a dynamic-slice formulation were
+            # all tried and all still miscompile; accum=1 spatial and
+            # accum>1 non-spatial are each exact. Fail loudly at config
+            # level rather than train on silently corrupt gradients.
+            for k, sh in batch_sharded.items():
+                spec = tuple(sh.spec)
+                if any(ax is not None for ax in spec[1:]):
+                    raise ValueError(
+                        "grad_accum > 1 cannot be combined with "
+                        f"non-batch-dim sharding (batch[{k!r}] spec "
+                        f"{sh.spec}): XLA SPMD miscompiles the "
+                        "microbatched gradient collectives for "
+                        "spatially-sharded inputs (see "
+                        "train/step.py:make_train_step). Use "
+                        "grad_accum=1 with spatial partitioning, or "
+                        "drop --spatial-devices."
+                    )
+            # Pin the microbatch-reshaped batch's shardings (input spec
+            # with a replicated leading accum dim): sharding propagation
+            # through the reshape is otherwise ambiguous, and for purely
+            # batch-sharded inputs the pin keeps the scan body's
+            # partitioning identical to the accum=1 step's.
+            micro_sh = {
+                k: {
+                    "stacked": NamedSharding(
+                        mesh, P(*((None,) + tuple(sh.spec)))
+                    ),
+                    "slice": sh,
+                }
+                for k, sh in batch_sharded.items()
+            }
+            fn = functools.partial(fn, micro_shardings=micro_sh)
         kwargs["in_shardings"] = (state_sh, batch_sharded)
         kwargs["out_shardings"] = (state_sh, replicated)
     return jax.jit(fn, **kwargs)

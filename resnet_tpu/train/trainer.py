@@ -81,6 +81,18 @@ class Trainer:
                 "kernels='blockfused' (Pallas calls carry no SPMD "
                 "partitioning rule); use kernels='xla'"
             )
+        if pcfg.spatial_devices > 1 and cfg.execution.grad_accum > 1:
+            # jax 0.9.0's SPMD partitioner miscompiles the microbatched
+            # gradient collectives for spatially-sharded inputs (loss
+            # exact, gradients corrupt) — rejected here with the config
+            # knobs named; the deep guard lives in make_train_step.
+            raise ValueError(
+                "spatial_devices > 1 is incompatible with grad_accum > 1 "
+                "(XLA SPMD miscompiles the microbatched gradient "
+                "collectives under spatial sharding; see "
+                "train/step.py:make_train_step). Use grad_accum=1 with "
+                "spatial partitioning."
+            )
         if use_mesh and pcfg.spatial_devices > 1:
             # (data x spatial) mesh: image H split over the spatial axis
             if pcfg.mode == "shard_map":

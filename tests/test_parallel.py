@@ -525,18 +525,31 @@ def test_grad_accum_composes_with_spatial_and_zero(rng):
     }
     _, ref = make_train_step(cfg, donate=False)(state, batch)
     ref_loss = float(ref["loss"])
+    ref_gnorm = float(ref["grad_norm"])
 
+    # Spatial sharding x grad_accum is REJECTED at config level: jax
+    # 0.9.0's SPMD partitioner miscompiles the microbatched gradient
+    # collectives for spatially-sharded inputs (stem filter-grad
+    # over-counted by the accum factor, BN beta grads under-reduced by
+    # the data-axis size) while keeping the loss exact — a loss-only
+    # assertion was blind to it. Sharding-constraint pins on the
+    # reshaped stack, on the scanned slice, and a dynamic-slice
+    # formulation all still miscompile, so the combination fails loudly
+    # (make_train_step) instead of training on corrupt gradients.
     mesh_sp = make_mesh_2d(4, 2, axes=("data", "spatial"))
     sp_batch = spatial_shard_batch(batch, mesh_sp)
-    step_sp = make_train_step(
-        cfg, mesh_sp, donate=False,
-        batch_shardings={k: v.sharding for k, v in sp_batch.items()},
-    )
-    _, m_sp = step_sp(replicate(state, mesh_sp), sp_batch)
-    np.testing.assert_allclose(float(m_sp["loss"]), ref_loss, rtol=1e-4)
+    with pytest.raises(ValueError, match="grad_accum"):
+        make_train_step(
+            cfg, mesh_sp, donate=False,
+            batch_shardings={k: v.sharding for k, v in sp_batch.items()},
+        )
 
+    # ZeRO state sharding composes with grad_accum and must match BOTH
+    # loss and grad_norm (the gradient-corruption class above is only
+    # catchable through grads).
     mesh_z = make_mesh(8)
     zsh = zero_shardings(state, mesh_z, min_bytes=1024)
     step_z = make_train_step(cfg, mesh_z, donate=False, state_shardings=zsh)
     _, m_z = step_z(jax.device_put(state, zsh), shard_batch(batch, mesh_z))
     np.testing.assert_allclose(float(m_z["loss"]), ref_loss, rtol=1e-4)
+    np.testing.assert_allclose(float(m_z["grad_norm"]), ref_gnorm, rtol=1e-3)
