@@ -199,6 +199,17 @@ class Trainer:
             self.state = replicate(self.state, self.mesh)
 
         if self.mesh is not None and cfg.parallel.mode == "shard_map":
+            if cfg.execution.grad_accum > 1:
+                # the explicit shard_map step is single-pass: it would
+                # silently IGNORE the accumulation request (one
+                # full-microbatch grad per step), so reject the combo
+                # loudly like the other unsupported pairings
+                raise ValueError(
+                    "parallel.mode='shard_map' does not implement "
+                    "grad_accum > 1 (its step computes single-pass "
+                    "gradients); use parallel.mode='auto' for the "
+                    "microbatch-accumulated step"
+                )
             self.train_step = make_shard_map_train_step(cfg, self.mesh)
         else:
             self.train_step = make_train_step(

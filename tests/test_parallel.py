@@ -319,6 +319,54 @@ def test_trainer_spatial_devices_rejects_shard_map():
         Trainer(cfg)
 
 
+def test_trainer_shard_map_rejects_grad_accum():
+    """mode='shard_map' computes single-pass gradients: grad_accum > 1
+    would be silently ignored, so the Trainer must reject it loudly
+    (same ethos as the spatial/blockfused guards)."""
+    from resnet_tpu.config import (
+        DataConfig,
+        ExecutionConfig,
+        ParallelConfig,
+        TrainConfig,
+        tiny_model_config,
+    )
+    from resnet_tpu.train import Trainer
+
+    cfg = TrainConfig(
+        model=tiny_model_config(),
+        execution=ExecutionConfig(grad_accum=2),
+        data=DataConfig(batch_size=8, synthetic=True),
+        parallel=ParallelConfig(mode="shard_map"),
+        checkpoint_dir="",
+    )
+    with pytest.raises(ValueError, match="grad_accum"):
+        Trainer(cfg)
+
+
+def test_trainer_spatial_rejects_grad_accum():
+    """spatial_devices > 1 + grad_accum > 1 is the known-miscompiling
+    combination (see train/step.py:make_train_step) — config-level
+    rejection with the knobs named."""
+    from resnet_tpu.config import (
+        DataConfig,
+        ExecutionConfig,
+        ParallelConfig,
+        TrainConfig,
+        tiny_model_config,
+    )
+    from resnet_tpu.train import Trainer
+
+    cfg = TrainConfig(
+        model=tiny_model_config(),
+        execution=ExecutionConfig(grad_accum=2),
+        data=DataConfig(batch_size=8, synthetic=True),
+        parallel=ParallelConfig(spatial_devices=2),
+        checkpoint_dir="",
+    )
+    with pytest.raises(ValueError, match="grad_accum"):
+        Trainer(cfg)
+
+
 def test_zero_shardings_match_single_device(rng):
     """ZeRO-style state sharding: params/moments sharded across 'data',
     the partitioner all-gathers for compute — one step must reproduce
